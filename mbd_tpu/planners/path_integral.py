@@ -1,0 +1,133 @@
+"""Zeroth-order path-integral baselines: MPPI, CMA-ES, CEM.
+
+Semantics from the reference (mbd/planners/path_integral.py:33-141): iterate
+Nrefine times; each iteration samples Nsample control sequences around the
+running mean with a fixed σ=1 (CMA-ES adapts σ), rolls them out, softmax-
+weights mean per-step rewards at ``temp_sample``, and applies the chosen
+update rule:
+
+  * mppi   — softmax-weighted barycenter (reference :33-36)
+  * cma-es — barycenter + σ ← mean(sqrt(Σ w·err²))·σ, floored at 1e-3 (:39-45)
+  * cem    — mean of the top-10 samples by weight (:48-52)
+
+Like the MBD planner, the whole refinement loop runs as one ``lax.scan``
+device program with the sample axis shardable over a mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..parallel.mesh import sample_sharding
+from ..rollout import eval_us
+from .mbd import (HSAMPLE_RECOMMEND, NSAMPLE_RECOMMEND, TEMP_RECOMMEND)
+
+NREFINE_RECOMMEND = {"pushT": 200, "humanoidrun": 300}
+
+
+@dataclass
+class PathIntegralConfig:
+    update_method: str = "mppi"   # mppi | cma-es | cem
+    Nsample: int = 2048
+    Hsample: int = 50
+    Nrefine: int = 100
+    temp_sample: float = 0.1
+    cem_elite: int = 10
+
+
+def recommended_config(env_name: str,
+                       base: Optional[PathIntegralConfig] = None
+                       ) -> PathIntegralConfig:
+    cfg = base or PathIntegralConfig()
+    return PathIntegralConfig(
+        update_method=cfg.update_method,
+        Nsample=NSAMPLE_RECOMMEND.get(env_name, cfg.Nsample),
+        Hsample=HSAMPLE_RECOMMEND.get(env_name, cfg.Hsample),
+        Nrefine=NREFINE_RECOMMEND.get(env_name, cfg.Nrefine),
+        temp_sample=TEMP_RECOMMEND.get(env_name, cfg.temp_sample),
+        cem_elite=cfg.cem_elite,
+    )
+
+
+def softmax_update(weights, Y0s, sigma, mu_0t, cfg):
+    mu = jnp.einsum("n,nij->ij", weights, Y0s)
+    return mu, sigma
+
+
+def cma_es_update(weights, Y0s, sigma, mu_0t, cfg):
+    mu = jnp.einsum("n,nij->ij", weights, Y0s)
+    err = Y0s - mu_0t
+    sigma = jnp.sqrt(jnp.einsum("n,nij->ij", weights, err ** 2)).mean() * sigma
+    return mu, jnp.maximum(sigma, 1e-3)
+
+
+def cem_update(weights, Y0s, sigma, mu_0t, cfg):
+    # top-k by weight == top-k by reward (softmax is monotone)
+    _, idx = jax.lax.top_k(weights, cfg.cem_elite)
+    return jnp.mean(Y0s[idx], axis=0), sigma
+
+
+_UPDATE_FNS = {"mppi": softmax_update, "cma-es": cma_es_update,
+               "cem": cem_update}
+
+
+@dataclass
+class PathIntegralResult:
+    mu_0ts: jax.Array
+    rews_trace: jax.Array
+    final_reward: jax.Array
+
+
+def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
+         mesh: Optional[Mesh] = None, jit: bool = True) -> PathIntegralResult:
+    update_fn = _UPDATE_FNS[cfg.update_method]
+    nu = env.action_size
+
+    rng, rng_reset = jax.random.split(rng)
+    if state_init is None:
+        state_init = env.reset(rng_reset)
+    rng_exp, rng = jax.random.split(rng)
+
+    batch_eval = jax.vmap(functools.partial(eval_us, env.step),
+                          in_axes=(None, 0))
+    shard = sample_sharding(mesh) if mesh is not None else None
+
+    def update_once(carry, _):
+        rng, mu_0t, sigma = carry
+        rng, key = jax.random.split(rng)
+        eps = jax.random.normal(key, (cfg.Nsample, cfg.Hsample, nu)) * sigma
+        Y0s = jnp.clip(eps + mu_0t, -1.0, 1.0)
+        if shard is not None:
+            Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
+
+        rews = batch_eval(state_init, Y0s).mean(axis=-1)
+        # std guard: the reference MBD planner guards this (mbd_planner.py:111)
+        # but its path_integral does not and NaNs on a flat reward landscape;
+        # we guard both.
+        rew_std = rews.std()
+        rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)
+        logp0 = (rews - rews.mean()) / rew_std / cfg.temp_sample
+        weights = jax.nn.softmax(logp0)
+        mu_0tm1, sigma = update_fn(weights, Y0s, sigma, mu_0t, cfg)
+        return (rng, mu_0tm1, sigma), (mu_0tm1, rews.mean())
+
+    def refine(rng):
+        mu_0T = jnp.zeros((cfg.Hsample, nu))
+        carry = (rng, mu_0T, jnp.asarray(1.0))
+        _, (mu_0ts, rews_trace) = jax.lax.scan(
+            update_once, carry, None, length=cfg.Nrefine - 1)
+        return mu_0ts, rews_trace
+
+    if jit:
+        refine = jax.jit(refine)
+    mu_0ts, rews_trace = refine(rng_exp)
+
+    final_rews = eval_us(env.step, state_init, mu_0ts[-1])
+    return PathIntegralResult(mu_0ts=mu_0ts, rews_trace=rews_trace,
+                              final_reward=final_rews.mean())
