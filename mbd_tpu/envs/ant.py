@@ -1,0 +1,49 @@
+"""Ant: quadruped, forward-velocity reward (brax-registry parity).
+
+The reference pulls this env from the brax registry with
+``backend="positional"`` (mbd/envs/__init__.py:30-31). Standard brax ant
+semantics: reward = forward_velocity + healthy(1.0) − 0.5·Σu² (contact cost
+off by default); velocity from torso x displacement over env.dt; done when
+torso z leaves [0.2, 1.0]; obs = [q[2:], qd] (27-dim); reset noise ±0.1 on
+q, N(0, 0.1) on qd; n_frames=5.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..sim.system import load_mjcf
+from .base import State
+from .physics import PhysicsEnv, asset_path
+
+
+class Ant(PhysicsEnv):
+    def __init__(self):
+        super().__init__(load_mjcf(asset_path("ant.xml")), n_frames=5)
+
+    def reset(self, rng: jax.Array) -> State:
+        rng, rng1, rng2 = jax.random.split(rng, 3)
+        q = self.sys.init_q + jax.random.uniform(
+            rng1, (self.sys.nq,), minval=-0.1, maxval=0.1)
+        # keep the root quaternion valid
+        quat = self.sys.init_q[3:7]
+        q = q.at[3:7].set(quat / jnp.linalg.norm(quat))
+        qd = 0.1 * jax.random.normal(rng2, (self.sys.nv,))
+        ps = self.pipeline_init(q, qd)
+        return State(ps, self._obs(ps), jnp.asarray(0.0), jnp.asarray(0.0))
+
+    def step(self, state: State, action: jax.Array) -> State:
+        ps0 = state.pipeline_state
+        ps = self.pipeline_step(ps0, action)
+        velocity = (ps.x.pos[0] - ps0.x.pos[0]) / self.dt
+        ctrl_cost = 0.5 * jnp.sum(jnp.square(action))
+        z = ps.x.pos[0, 2]
+        healthy = jnp.where((z >= 0.2) & (z <= 1.0), 1.0, 0.0)
+        reward = velocity[0] + healthy - ctrl_cost
+        done = 1.0 - healthy
+        return state.replace(pipeline_state=ps, obs=self._obs(ps),
+                             reward=reward, done=done)
+
+    def _obs(self, ps) -> jax.Array:
+        return jnp.concatenate([ps.q[2:], ps.qd])

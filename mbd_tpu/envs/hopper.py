@@ -1,0 +1,51 @@
+"""Hopper: planar one-legged hopper, forward-progress reward.
+
+Behavioral spec from the reference env (mbd/envs/hopper.py): positional
+backend, n_frames=20, reset noise ±5e-3 on q/qd;
+obs = [q with q[1] := torso z, clip(qd, ±10)] (hopper.py:49-55);
+reward = torso_x − 0.5·clip(|torso_z − 1.0|, −1, 1) (hopper.py:57-65).
+Morphology: the standard gym hopper (vendored in assets/hopper.xml).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import State
+from .physics import PhysicsEnv
+
+
+class Hopper(PhysicsEnv):
+    def __init__(self):
+        super().__init__(self._load(), n_frames=20)
+        self._reset_noise = 5e-3
+
+    @staticmethod
+    def _load():
+        from ..sim.system import load_mjcf
+        from .physics import asset_path
+        return load_mjcf(asset_path("hopper.xml"))
+
+    def reset(self, rng: jax.Array) -> State:
+        rng, rng1, rng2 = jax.random.split(rng, 3)
+        lo, hi = -self._reset_noise, self._reset_noise
+        q = self.sys.init_q + jax.random.uniform(
+            rng1, (self.sys.nq,), minval=lo, maxval=hi)
+        qd = jax.random.uniform(rng2, (self.sys.nv,), minval=lo, maxval=hi)
+        ps = self.pipeline_init(q, qd)
+        return State(ps, self._obs(ps), jnp.asarray(0.0), jnp.asarray(0.0))
+
+    def step(self, state: State, action: jax.Array) -> State:
+        ps = self.pipeline_step(state.pipeline_state, action)
+        return state.replace(pipeline_state=ps, obs=self._obs(ps),
+                             reward=self._reward(ps), done=jnp.asarray(0.0))
+
+    def _obs(self, ps) -> jax.Array:
+        position = ps.q.at[1].set(ps.x.pos[0, 2])
+        velocity = jnp.clip(ps.qd, -10.0, 10.0)
+        return jnp.concatenate([position, velocity])
+
+    def _reward(self, ps) -> jax.Array:
+        return ps.x.pos[0, 0] - 0.5 * jnp.clip(
+            jnp.abs(ps.x.pos[0, 2] - 1.0), -1.0, 1.0)

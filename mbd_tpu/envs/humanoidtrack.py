@@ -1,0 +1,87 @@
+"""HumanoidTrack: humanoid tracking a motion-capture jog demo.
+
+Behavioral spec from the reference env (mbd/envs/humanoidtrack.py):
+n_frames=5, H=50 (1.5 s); 5 tracked bodies (torso, l/r thigh, l/r shin);
+demo positions from jog_xref (frames 70:120, padded to H) (:18-43);
+rew_xref = 1.0; deterministic reset (:48-61);
+``state.done`` doubles as the timestep counter and the ``*_ref`` bodies are
+teleported to the demo positions for visualization (:63-82);
+reward = 1 + (−|vx − 1.6| − |torso_z − 1.3| − 0.1·|torso_y|) (:87-96);
+eval_xref_logpd = −mean(clip(‖x − xref‖, 0, 0.5)/0.5)² over bodies × time
+(:98-106).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sim.system import load_mjcf
+from .base import State
+from .physics import PhysicsEnv, asset_path
+
+TRACK_BODIES = ["torso", "left_thigh", "right_thigh", "left_shin",
+                "right_shin"]
+
+
+class HumanoidTrack(PhysicsEnv):
+    def __init__(self, mode: str = "jog"):
+        sys = load_mjcf(asset_path("humanoidtrack.xml"))
+        super().__init__(sys, n_frames=5)
+        self.H = 50
+        self.track_body_idx = jnp.array(
+            [sys.link_names.index(n) for n in TRACK_BODIES])
+        self.ref_body_idx = jnp.array(
+            [sys.link_names.index(n + "_ref") for n in TRACK_BODIES])
+        demo = np.load(asset_path(f"{mode}_xref.npz"))
+        xref = []
+        for name in TRACK_BODIES:
+            x = demo[name]
+            if len(x) < self.H:
+                x = np.concatenate(
+                    [x, np.tile(x[-1:], (self.H - len(x), 1))], axis=0)
+            else:
+                x = x[70:70 + self.H]
+            xref.append(x)
+        self.xref = jnp.asarray(np.stack(xref, axis=0))   # (5, H, 3)
+        self.rew_xref = 1.0
+
+    def reset(self, rng: jax.Array) -> State:
+        del rng  # deterministic
+        q = self.sys.init_q
+        qd = jnp.zeros(self.sys.nv)
+        ps = self.pipeline_init(q, qd)
+        zero = jnp.asarray(0.0)
+        return State(ps, self._obs(ps), zero, zero,
+                     metrics={"reward_linup": zero, "reward_quadctrl": zero})
+
+    def step(self, state: State, action: jax.Array) -> State:
+        ps = self.pipeline_step(state.pipeline_state, action)
+        # teleport the *_ref marker bodies to the demo frame (visual only)
+        t = state.done.astype(jnp.int32)
+        pos = ps.x.pos
+        for i in range(len(TRACK_BODIES)):
+            pos = pos.at[self.ref_body_idx[i]].set(self.xref[i, t])
+        ps = ps.replace(x=ps.x.replace(pos=pos))
+        reward = self._reward(state)
+        return state.replace(pipeline_state=ps, obs=self._obs(ps),
+                             reward=reward, done=state.done + 1)
+
+    def _obs(self, ps) -> jax.Array:
+        return jnp.concatenate([ps.q, ps.qd], axis=-1)
+
+    def _reward(self, state) -> jax.Array:
+        ps = state.pipeline_state
+        return 1.0 + (
+            -jnp.abs(ps.xd.vel[0, 0] - 1.6)
+            - jnp.abs(ps.x.pos[0, 2] - 1.3)
+            - 0.1 * jnp.abs(ps.x.pos[0, 1]))
+
+    def eval_xref_logpd(self, pipeline_states) -> jax.Array:
+        """Demo tracking log-density over a stacked rollout (H leading)."""
+        xs = pipeline_states.x.pos[:, self.track_body_idx].transpose(1, 0, 2)
+        err = jnp.linalg.norm(xs - self.xref, axis=-1)
+        return -((jnp.clip(err, 0.0, 0.5) / 0.5) ** 2).mean()

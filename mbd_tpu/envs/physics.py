@@ -1,0 +1,54 @@
+"""PhysicsEnv: base class for engine-backed environments.
+
+Mirrors the contract the reference gets from ``brax.envs.base.PipelineEnv``
+(used at e.g. mbd/envs/hopper.py:4,18: ``pipeline_init``, ``pipeline_step``
+with ``n_frames`` substeps, ``dt = sys.dt * n_frames``, sizes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..sim import pipeline
+from ..sim.system import System, load_mjcf
+from .base import Env, State
+
+ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets")
+
+
+def asset_path(name: str) -> str:
+    return os.path.join(ASSET_DIR, name)
+
+
+class PhysicsEnv(Env):
+    def __init__(self, sys: System, n_frames: int):
+        self.sys = sys
+        self.n_frames = n_frames
+
+    @classmethod
+    def from_xml(cls, xml_name: str, n_frames: int, **kwargs):
+        return cls(load_mjcf(asset_path(xml_name)), n_frames, **kwargs)
+
+    @property
+    def dt(self):
+        return float(self.sys.dt) * self.n_frames
+
+    def pipeline_init(self, q: jnp.ndarray,
+                      qd: jnp.ndarray) -> pipeline.PipelineState:
+        return pipeline.pipeline_init(self.sys, q, qd)
+
+    def pipeline_step(self, ps: pipeline.PipelineState,
+                      action: jnp.ndarray) -> pipeline.PipelineState:
+        return pipeline.pipeline_step(self.sys, ps, action, self.n_frames)
+
+    @property
+    def action_size(self) -> int:
+        return self.sys.nu
+
+    @property
+    def observation_size(self) -> int:
+        obs = jax.eval_shape(self.reset, jax.random.PRNGKey(0)).obs
+        return int(obs.shape[-1])

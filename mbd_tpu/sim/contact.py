@@ -1,0 +1,71 @@
+"""Contact solver: effective-mass-scaled spring-damper (MuJoCo-solref style)
+normal force + regularized Coulomb friction, projected to joint space.
+
+Replacement for brax's positional (PBD) constraint projection and the
+generalized pipeline's friction-cone QP (reference backends, SURVEY §2.B).
+
+Raw positional penalties (f = k·depth) are unstable across morphologies —
+the stable stiffness depends on the effective mass at the contact. Instead
+we impose a reference *acceleration* a* = k·φ − b·vn (k in 1/s², b in 1/s,
+the solref (timeconst, dampratio) parameterization) and convert it to force
+with the effective mass m_eff = 1/(Jₙ M⁻¹ Jₙᵀ). This keeps the step
+fixed-shape batched dense algebra (no iterative solver) and is stable for
+any body mass at any of our timesteps.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .collision import Contacts
+from .kinematics import Kin
+from .system import System
+
+
+def contact_force(sys: System, kin: Kin, v_b: jnp.ndarray, con: Contacts,
+                  Minv: jnp.ndarray) -> jnp.ndarray:
+    """(nv,) generalized contact force.
+
+    For each contact (point p, normal n A→B, depth φ):
+      Jₙ    = (S [p×n̂, n̂]) · (anc(B) − anc(A))   — normal-velocity Jacobian
+      m_eff = 1/(Jₙ M⁻¹ Jₙᵀ)
+      fn    = m_eff · max(0, k·φ − b·vn) · [φ > 0]
+      ft    = −μ·fn · v_t/√(‖v_t‖² + ε²)          (regularized Coulomb)
+    and qfrc += Jₙᵀ fn + J_tᵀ ft (dense masked projection).
+    """
+    ncon = len(con.body_a)
+    if ncon == 0:
+        return jnp.zeros(sys.nv, kin.S.dtype)
+
+    k = sys.contact_stiffness
+    b = sys.contact_damping
+    eps = sys.friction_vel_tol
+
+    qfrc = jnp.zeros(sys.nv, kin.S.dtype)
+    for i in range(ncon):
+        ba, bb = con.body_a[i], con.body_b[i]
+        p, n, phi, mu = con.pos[i], con.normal[i], con.depth[i], con.friction[i]
+        mask = sys.mask_ancdof_body[bb] - sys.mask_ancdof_body[ba]
+
+        def point_vel(body):
+            vang, vlin = v_b[body, :3], v_b[body, 3:]
+            return vlin + jnp.cross(vang, p)
+
+        v_rel = point_vel(bb) - point_vel(ba)
+        vn = jnp.dot(v_rel, n)
+        vt = v_rel - vn * n
+
+        n_sp = jnp.concatenate([jnp.cross(p, n), n])
+        Jn = (kin.S @ n_sp) * mask                          # (nv,)
+        m_eff = 1.0 / (Jn @ (Minv @ Jn) + 1e-8)
+
+        active = phi > 0.0
+        fn = m_eff * jnp.maximum(k * phi - b * vn, 0.0) * active
+
+        # friction force along regularized tangential direction
+        t_dir = vt / jnp.sqrt(jnp.sum(vt * vt) + eps * eps)
+        ft = -mu * fn * t_dir
+        F = fn * n + ft
+        F_spatial = jnp.concatenate([jnp.cross(p, F), F])
+        qfrc = qfrc + (kin.S @ F_spatial) * mask
+    return qfrc

@@ -1,0 +1,142 @@
+"""Smooth articulated dynamics as dense masked einsums (TPU-first).
+
+Replaces brax's per-link scatter/gather pipelines (the reference's
+``backend="positional"``/``"generalized"``, SURVEY §2.B) with a formulation
+where every stage is a batched dense contraction over static topology masks:
+
+  CRBA   : M[i,j]  = S_i · (I^c_{body(i)} S_j), masked by dof ancestry
+  RNEA   : C_i     = S_i · Σ_{b ∈ subtree(body(i))} f_b, with
+           f_b = I_b a_b + v_b ×f* (I_b v_b), a_b from per-dof Ṡ q̇ terms
+  gravity: the a₀ = −g trick folds gravity into the bias force
+
+Under ``vmap`` over Nsample these become [B, nv, 6] × [B, 6, nv]-shaped
+contractions + [nv, nv] mask products — MXU-friendly at batch scale, no
+data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math import force_cross, motion_cross, quat_to_mat, quat_rotate, \
+    spatial_inertia
+from .kinematics import Kin
+from .system import System
+
+
+def body_spatial_inertias(sys: System, kin: Kin) -> jnp.ndarray:
+    """(nbody, 6, 6) world-frame spatial inertia of each body about origin."""
+    com = kin.xpos + quat_rotate(kin.xquat, sys.body_ipos)
+    # rotational inertia about CoM in world axes
+    from ..core.math import quat_mul
+    iq = quat_mul(kin.xquat, sys.body_iquat)
+    R = quat_to_mat(iq)
+    I_diag = sys.body_inertia[..., None] * jnp.swapaxes(R, -1, -2)
+    I_world = R @ I_diag
+    return spatial_inertia(sys.body_mass, I_world, com)
+
+
+def mass_matrix(sys: System, kin: Kin, I_b: jnp.ndarray) -> jnp.ndarray:
+    """(nv, nv) joint-space inertia matrix via composite-rigid-body.
+
+    I^c_b = Σ_{d ∈ subtree(b)} I_d  (mask_subtree einsum)
+    M[i,j] = S_j^T I^c_{body(i)} S_i for body(j) ancestor-or-self of body(i),
+    symmetrized; armature added on the diagonal.
+    """
+    Ic = jnp.einsum("bd,dxy->bxy", sys.mask_subtree, I_b)   # (nbody,6,6)
+    dof_body = np.asarray(sys.dof_bodyid)
+    Ic_dof = Ic[dof_body]                                   # (nv,6,6)
+    F = jnp.einsum("ixy,iy->ix", Ic_dof, kin.S)             # (nv,6)
+    M_raw = jnp.einsum("ix,jx->ij", F, kin.S)               # (nv,nv)
+    D = sys.mask_dof_dof
+    M = D * M_raw + (1.0 - D) * D.T * M_raw.T
+    return M + jnp.diag(sys.dof_armature)
+
+
+def smooth_terms(sys: System, kin: Kin, qd: jnp.ndarray):
+    """All smooth dynamics quantities in one pass.
+
+    Returns (M, qfrc_bias, v_b, I_b):
+      M         (nv, nv)  mass matrix (with armature)
+      qfrc_bias (nv,)     C qd + G  (sign: qacc = M⁻¹(tau − qfrc_bias))
+      v_b       (nbody,6) world spatial velocities
+      I_b       (nbody,6,6) world spatial inertias
+    """
+    dof_body = np.asarray(sys.dof_bodyid)
+
+    I_b = body_spatial_inertias(sys, kin)
+    M = mass_matrix(sys, kin, I_b)
+
+    # body velocities
+    W = kin.S * qd[:, None]                                  # (nv,6)
+    v_b = sys.mask_ancdof_body @ W                           # (nbody,6)
+
+    # bias accelerations: a_b = −g + Σ_{i∈ancdofs(b)} Ṡ_i q̇_i with
+    # Ṡ_i = v_partial_i ×m S_i, v_partial_i = velocity from strictly earlier
+    # dofs only (MuJoCo cdof_dot semantics for multi-dof bodies)
+    v_partial = sys.mask_dof_prevdof @ W                     # (nv,6)
+    Sdot_qd = motion_cross(v_partial, W)                     # (nv,6)
+    a_b = sys.mask_ancdof_body @ Sdot_qd                     # (nbody,6)
+    g_spatial = jnp.concatenate([jnp.zeros(3, qd.dtype), -sys.gravity])
+    a_b = a_b + g_spatial
+
+    # spatial forces
+    Iv = jnp.einsum("bxy,by->bx", I_b, v_b)
+    f_b = jnp.einsum("bxy,by->bx", I_b, a_b) + force_cross(v_b, Iv)
+
+    # project into joint space: C_i = S_i · Σ_{d∈subtree(body(i))} f_d
+    f_sub = sys.mask_subtree @ f_b                           # (nbody,6)
+    qfrc_bias = jnp.einsum("ix,ix->i", kin.S, f_sub[dof_body])
+    return M, qfrc_bias, v_b, I_b
+
+
+def passive_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
+    """Joint springs (−k(q − q_spring)) and explicit part of damping.
+
+    Damping is handled implicitly in the integrator (see pipeline.step);
+    here we return only the spring torque mapped to dofs.
+    """
+    tau = jnp.zeros(sys.nv, q.dtype)
+    for j in range(sys.njnt):
+        k = sys.jnt_stiffness[j]
+        jt = sys.jnt_type[j]
+        if jt in (2, 3):  # slide / hinge
+            qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
+            tau = tau.at[dadr].add(-k * (q[qadr] - sys.qpos_spring[qadr]))
+    return tau
+
+
+def limit_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
+                Minv: jnp.ndarray) -> jnp.ndarray:
+    """Joint-limit penalty torque: effective-mass-scaled acceleration spring
+    (same solver model as contacts — see sim/contact.py)."""
+    tau = jnp.zeros(sys.nv, q.dtype)
+    for j in range(sys.njnt):
+        if not sys.jnt_limited[j]:
+            continue
+        jt = sys.jnt_type[j]
+        if jt not in (2, 3):
+            continue
+        qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
+        lo, hi = sys.jnt_range[j, 0], sys.jnt_range[j, 1]
+        below = jnp.maximum(lo - q[qadr], 0.0)
+        above = jnp.maximum(q[qadr] - hi, 0.0)
+        active = (below > 0) | (above > 0)
+        m_eff = 1.0 / (Minv[dadr, dadr] + 1e-8)
+        a_ref = sys.limit_stiffness * (below - above) \
+            - jnp.where(active, sys.limit_damping * qd[dadr], 0.0)
+        tau = tau.at[dadr].add(m_eff * a_ref)
+    return tau
+
+
+def actuator_force(sys: System, ctrl: jnp.ndarray) -> jnp.ndarray:
+    """Motor torques: gear · clip(ctrl, ctrlrange) on the joint's first dof."""
+    u = jnp.clip(ctrl, sys.actuator_ctrlrange[:, 0],
+                 sys.actuator_ctrlrange[:, 1])
+    force = sys.actuator_gear * u
+    tau = jnp.zeros(sys.nv, ctrl.dtype)
+    for a in range(sys.nu):
+        dadr = sys.jnt_dofadr[sys.actuator_jntid[a]]
+        tau = tau.at[dadr].add(force[a])
+    return tau
