@@ -130,11 +130,19 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
 
 
 def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
-         mesh: Optional[Mesh] = None, jit: bool = True) -> MBDResult:
-    """Run the full reverse diffusion as one device program.
+         mesh: Optional[Mesh] = None, jit: bool = True,
+         chunk_size: int = 0, progress_fn=None) -> MBDResult:
+    """Run the full reverse diffusion.
 
     RNG layout mirrors the reference driver (mbd_planner.py:79,137-149):
     ``rng`` is split once for reset and once for the experiment stream.
+
+    ``chunk_size > 0`` splits the Ndiffuse scan into host-loop chunks of that
+    many steps (still jitted internally). Use this for very long denoises on
+    physics envs: a single multi-minute XLA dispatch can trip device
+    watchdogs, and chunking also enables ``progress_fn(step, mean_reward)``
+    reporting. ``chunk_size = 0`` runs the whole denoise as ONE device
+    program (the TPU-idiomatic default).
     """
     rng, rng_reset = jax.random.split(rng)
     if state_init is None:
@@ -144,16 +152,31 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
     sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
     reverse_once = make_reverse_once(env, cfg, state_init, sched, mesh)
 
-    def reverse(rng):
-        YN = jnp.zeros((cfg.Hsample, env.action_size))
-        steps = jnp.arange(cfg.Ndiffuse - 1, 0, -1)
-        (_, _), (Ybars, rews_trace) = jax.lax.scan(
-            reverse_once, (rng, YN), steps)
-        return Ybars, rews_trace
+    def reverse_chunk(carry, steps):
+        return jax.lax.scan(reverse_once, carry, steps)
 
     if jit:
-        reverse = jax.jit(reverse)
-    Ybars, rews_trace = reverse(rng_exp)
+        reverse_chunk = jax.jit(reverse_chunk)
+
+    YN = jnp.zeros((cfg.Hsample, env.action_size))
+    steps = jnp.arange(cfg.Ndiffuse - 1, 0, -1)
+    if chunk_size <= 0:
+        (_, _), (Ybars, rews_trace) = reverse_chunk((rng_exp, YN), steps)
+    else:
+        carry = (rng_exp, YN)
+        Ybars_l, rews_l = [], []
+        # fixed chunk shapes (pad the tail) so only one program is compiled
+        n = steps.shape[0]
+        pad = (-n) % chunk_size
+        steps_p = jnp.concatenate([steps, jnp.ones(pad, steps.dtype)])
+        for c in range(0, n + pad, chunk_size):
+            carry, (Yb, rw) = reverse_chunk(carry, steps_p[c:c + chunk_size])
+            Ybars_l.append(Yb)
+            rews_l.append(rw)
+            if progress_fn is not None:
+                progress_fn(min(c + chunk_size, n), float(rw[-1]))
+        Ybars = jnp.concatenate(Ybars_l)[:n]
+        rews_trace = jnp.concatenate(rews_l)[:n]
 
     final_rews = rollout_us(env.step, state_init, Ybars[-1])[0]
     return MBDResult(Ybars=Ybars, rews_trace=rews_trace,

@@ -41,31 +41,30 @@ def contact_force(sys: System, kin: Kin, v_b: jnp.ndarray, con: Contacts,
     b = sys.contact_damping
     eps = sys.friction_vel_tol
 
-    qfrc = jnp.zeros(sys.nv, kin.S.dtype)
-    for i in range(ncon):
-        ba, bb = con.body_a[i], con.body_b[i]
-        p, n, phi, mu = con.pos[i], con.normal[i], con.depth[i], con.friction[i]
-        mask = sys.mask_ancdof_body[bb] - sys.mask_ancdof_body[ba]
+    import numpy as np
+    ba = np.asarray(con.body_a)
+    bb = np.asarray(con.body_b)
+    mask = sys.mask_ancdof_body[bb] - sys.mask_ancdof_body[ba]  # (ncon, nv)
 
-        def point_vel(body):
-            vang, vlin = v_b[body, :3], v_b[body, 3:]
-            return vlin + jnp.cross(vang, p)
+    p, n, phi, mu = con.pos, con.normal, con.depth, con.friction
 
-        v_rel = point_vel(bb) - point_vel(ba)
-        vn = jnp.dot(v_rel, n)
-        vt = v_rel - vn * n
+    def point_vels(bids):
+        vang, vlin = v_b[bids, :3], v_b[bids, 3:]
+        return vlin + jnp.cross(vang, p)
 
-        n_sp = jnp.concatenate([jnp.cross(p, n), n])
-        Jn = (kin.S @ n_sp) * mask                          # (nv,)
-        m_eff = 1.0 / (Jn @ (Minv @ Jn) + 1e-8)
+    v_rel = point_vels(bb) - point_vels(ba)                 # (ncon, 3)
+    vn = jnp.einsum("cx,cx->c", v_rel, n)
+    vt = v_rel - vn[:, None] * n
 
-        active = phi > 0.0
-        fn = m_eff * jnp.maximum(k * phi - b * vn, 0.0) * active
+    n_sp = jnp.concatenate([jnp.cross(p, n), n], axis=-1)   # (ncon, 6)
+    Jn = jnp.einsum("ix,cx->ci", kin.S, n_sp) * mask        # (ncon, nv)
+    m_eff = 1.0 / (jnp.einsum("ci,ij,cj->c", Jn, Minv, Jn) + 1e-8)
 
-        # friction force along regularized tangential direction
-        t_dir = vt / jnp.sqrt(jnp.sum(vt * vt) + eps * eps)
-        ft = -mu * fn * t_dir
-        F = fn * n + ft
-        F_spatial = jnp.concatenate([jnp.cross(p, F), F])
-        qfrc = qfrc + (kin.S @ F_spatial) * mask
-    return qfrc
+    active = phi > 0.0
+    fn = m_eff * jnp.maximum(k * phi - b * vn, 0.0) * active
+
+    t_dir = vt / jnp.sqrt(
+        jnp.sum(vt * vt, axis=-1, keepdims=True) + eps * eps)
+    F = fn[:, None] * n - mu[:, None] * fn[:, None] * t_dir  # (ncon, 3)
+    F_spatial = jnp.concatenate([jnp.cross(p, F), F], axis=-1)
+    return jnp.einsum("ix,cx,ci->i", kin.S, F_spatial, mask)

@@ -91,43 +91,50 @@ def smooth_terms(sys: System, kin: Kin, qd: jnp.ndarray):
     return M, qfrc_bias, v_b, I_b
 
 
-def passive_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
-    """Joint springs (−k(q − q_spring)) and explicit part of damping.
-
-    Damping is handled implicitly in the integrator (see pipeline.step);
-    here we return only the spring torque mapped to dofs.
-    """
-    tau = jnp.zeros(sys.nv, q.dtype)
+def _onedof_maps(sys: System):
+    """Static (qadr, dadr) index arrays for all 1-dof (hinge/slide) joints,
+    and the limited subset. Built from static tuples at trace time."""
+    qadr, dadr, lim = [], [], []
     for j in range(sys.njnt):
-        k = sys.jnt_stiffness[j]
-        jt = sys.jnt_type[j]
-        if jt in (2, 3):  # slide / hinge
-            qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
-            tau = tau.at[dadr].add(-k * (q[qadr] - sys.qpos_spring[qadr]))
-    return tau
+        if sys.jnt_type[j] in (2, 3):
+            qadr.append(sys.jnt_qposadr[j])
+            dadr.append(sys.jnt_dofadr[j])
+            lim.append(j)
+    return np.asarray(qadr, np.int32), np.asarray(dadr, np.int32), \
+        np.asarray(lim, np.int32)
+
+
+def passive_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
+    """Joint springs −k·(q − q_spring) mapped to dofs (damping is implicit
+    in the integrator; see pipeline)."""
+    qadr, dadr, jids = _onedof_maps(sys)
+    if len(dadr) == 0:
+        return jnp.zeros(sys.nv, q.dtype)
+    k = sys.jnt_stiffness[jids]
+    spring = -k * (q[qadr] - sys.qpos_spring[qadr])
+    return jnp.zeros(sys.nv, q.dtype).at[dadr].set(spring)
 
 
 def limit_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
                 Minv: jnp.ndarray) -> jnp.ndarray:
     """Joint-limit penalty torque: effective-mass-scaled acceleration spring
     (same solver model as contacts — see sim/contact.py)."""
-    tau = jnp.zeros(sys.nv, q.dtype)
-    for j in range(sys.njnt):
-        if not sys.jnt_limited[j]:
-            continue
-        jt = sys.jnt_type[j]
-        if jt not in (2, 3):
-            continue
-        qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
-        lo, hi = sys.jnt_range[j, 0], sys.jnt_range[j, 1]
-        below = jnp.maximum(lo - q[qadr], 0.0)
-        above = jnp.maximum(q[qadr] - hi, 0.0)
-        active = (below > 0) | (above > 0)
-        m_eff = 1.0 / (Minv[dadr, dadr] + 1e-8)
-        a_ref = sys.limit_stiffness * (below - above) \
-            - jnp.where(active, sys.limit_damping * qd[dadr], 0.0)
-        tau = tau.at[dadr].add(m_eff * a_ref)
-    return tau
+    qadr_all, dadr_all, jids_all = _onedof_maps(sys)
+    keep = [i for i, j in enumerate(jids_all) if sys.jnt_limited[j]]
+    if not keep:
+        return jnp.zeros(sys.nv, q.dtype)
+    keep = np.asarray(keep, np.int32)
+    qadr, dadr, jids = qadr_all[keep], dadr_all[keep], jids_all[keep]
+    lo = sys.jnt_range[jids, 0]
+    hi = sys.jnt_range[jids, 1]
+    qj, qdj = q[qadr], qd[dadr]
+    below = jnp.maximum(lo - qj, 0.0)
+    above = jnp.maximum(qj - hi, 0.0)
+    active = (below > 0) | (above > 0)
+    m_eff = 1.0 / (Minv[dadr, dadr] + 1e-8)
+    a_ref = sys.limit_stiffness * (below - above) \
+        - jnp.where(active, sys.limit_damping * qdj, 0.0)
+    return jnp.zeros(sys.nv, q.dtype).at[dadr].set(m_eff * a_ref)
 
 
 def actuator_force(sys: System, ctrl: jnp.ndarray) -> jnp.ndarray:
@@ -135,8 +142,6 @@ def actuator_force(sys: System, ctrl: jnp.ndarray) -> jnp.ndarray:
     u = jnp.clip(ctrl, sys.actuator_ctrlrange[:, 0],
                  sys.actuator_ctrlrange[:, 1])
     force = sys.actuator_gear * u
-    tau = jnp.zeros(sys.nv, ctrl.dtype)
-    for a in range(sys.nu):
-        dadr = sys.jnt_dofadr[sys.actuator_jntid[a]]
-        tau = tau.at[dadr].add(force[a])
-    return tau
+    dadr = np.asarray([sys.jnt_dofadr[sys.actuator_jntid[a]]
+                       for a in range(sys.nu)], np.int32)
+    return jnp.zeros(sys.nv, ctrl.dtype).at[dadr].add(force)

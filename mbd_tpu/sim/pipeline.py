@@ -73,26 +73,39 @@ def pipeline_init(sys: System, q: jnp.ndarray,
 
 def integrate_pos(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
                   dt) -> jnp.ndarray:
-    """q ⊕ dt·qd with MuJoCo conventions (free-joint ω is body-local)."""
-    qn = q + jnp.zeros_like(q)
+    """q ⊕ dt·qd with MuJoCo conventions (free-joint ω is body-local).
+
+    1-dof joints integrate in one vectorized scatter; free joints (at most a
+    couple per scene) use the quaternion exponential map.
+    """
+    import numpy as np
+
+    qadr_1, dadr_1, free_j = [], [], []
     for j in range(sys.njnt):
         jt = sys.jnt_type[j]
-        qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
         if jt == FREE:
-            qn = qn.at[qadr:qadr + 3].set(
-                q[qadr:qadr + 3] + dt * qd[dadr:dadr + 3])
-            quat = q[qadr + 3:qadr + 7]
-            w_local = qd[dadr + 3:dadr + 6]
-            angle = jnp.linalg.norm(w_local) * dt
-            axis = w_local / jnp.maximum(jnp.linalg.norm(w_local), 1e-12)
-            dq = quat_from_axis_angle(axis, angle)
-            quat_new = quat_mul(quat, dq)
-            quat_new = quat_new / jnp.linalg.norm(quat_new)
-            qn = qn.at[qadr + 3:qadr + 7].set(quat_new)
+            free_j.append(j)
         elif jt in (HINGE, SLIDE):
-            qn = qn.at[qadr].set(q[qadr] + dt * qd[dadr])
+            qadr_1.append(sys.jnt_qposadr[j])
+            dadr_1.append(sys.jnt_dofadr[j])
         else:
             raise NotImplementedError
+    qn = q
+    if qadr_1:
+        qa = np.asarray(qadr_1, np.int32)
+        da = np.asarray(dadr_1, np.int32)
+        qn = qn.at[qa].add(dt * qd[da])
+    for j in free_j:
+        qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
+        qn = qn.at[qadr:qadr + 3].add(dt * qd[dadr:dadr + 3])
+        quat = q[qadr + 3:qadr + 7]
+        w_local = qd[dadr + 3:dadr + 6]
+        angle = jnp.linalg.norm(w_local) * dt
+        axis = w_local / jnp.maximum(jnp.linalg.norm(w_local), 1e-12)
+        dq = quat_from_axis_angle(axis, angle)
+        quat_new = quat_mul(quat, dq)
+        quat_new = quat_new / jnp.linalg.norm(quat_new)
+        qn = qn.at[qadr + 3:qadr + 7].set(quat_new)
     return qn
 
 
