@@ -1,14 +1,14 @@
 """Benchmark driver: one JSON line with the headline metric.
 
 Headline workload (BASELINE.md north star): the humanoidrun MBD denoise —
-Nsample x Hsample x n_frames physics substeps per diffusion step — measured
-as env-steps/sec/chip inside the denoise loop, with wall-time for the full
-denoise. Falls back to the analytic car2d denoise while the physics engine
-envs are not yet available.
+Nsample × Hsample × n_frames physics substeps per diffusion step on the
+batch-last fused engine — measured as env-steps/sec/chip inside the denoise
+loop. vs_baseline = (10 s target / measured full-denoise wall time) at the
+north-star config (Ndiffuse=300, Nsample=1024, horizon 50); >1 beats the
+driver-set target. Falls back to the analytic car2d denoise if the physics
+path is unavailable.
 
 Prints: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline is (10 s target / measured full-denoise wall time) for
-humanoidrun (>1 beats the driver-set target), or 0.0 for the fallback.
 """
 
 import json
@@ -17,9 +17,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-def _bench_env(env_name: str, cfg_kwargs: dict, target_s: float | None):
+
+def _bench(env_name: str, cfg_kwargs: dict, engine, target_s, chunk: int):
     from mbd_tpu import envs
+    from mbd_tpu.core.schedule import make_schedule
     from mbd_tpu.planners import mbd
 
     env = envs.get_env(env_name)
@@ -28,35 +32,38 @@ def _bench_env(env_name: str, cfg_kwargs: dict, target_s: float | None):
     rng = jax.random.PRNGKey(0)
     rng, rng_reset = jax.random.split(rng)
     state_init = env.reset(rng_reset)
-
-    from mbd_tpu.core.schedule import make_schedule
     sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
-    reverse_once = mbd.make_reverse_once(env, cfg, state_init, sched)
+    reverse_once = mbd.make_reverse_once(
+        env, cfg, state_init, sched,
+        engine=engine or mbd.default_engine(env))
 
-    def reverse(rng):
-        YN = jnp.zeros((cfg.Hsample, env.action_size))
-        steps = jnp.arange(cfg.Ndiffuse - 1, 0, -1)
-        (_, _), (Ybars, rews) = jax.lax.scan(reverse_once, (rng, YN), steps)
-        return Ybars, rews
+    chunk_fn = jax.jit(lambda c, s: jax.lax.scan(reverse_once, c, s))
+    steps = jnp.arange(cfg.Ndiffuse - 1, 0, -1)
+    n = steps.shape[0]
+    pad = (-n) % chunk
+    steps = jnp.concatenate([steps, jnp.ones(pad, steps.dtype)])
 
-    reverse = jax.jit(reverse)
-    # compile
-    out = reverse(rng)
-    jax.block_until_ready(out)
-    # timed run
+    def full_denoise():
+        carry = (jax.random.PRNGKey(1),
+                 jnp.zeros((cfg.Hsample, env.action_size)))
+        rews = None
+        for c in range(0, n + pad, chunk):
+            carry, (_, rews) = chunk_fn(carry, steps[c:c + chunk])
+        jax.block_until_ready(carry)
+        return rews
+
+    full_denoise()                      # compile
     t0 = time.perf_counter()
-    out = reverse(rng)
-    jax.block_until_ready(out)
+    full_denoise()                      # timed
     dt = time.perf_counter() - t0
 
-    n_steps = (cfg.Ndiffuse - 1) * cfg.Nsample * cfg.Hsample
-    steps_per_sec = n_steps / dt
+    n_env_steps = n * cfg.Nsample * cfg.Hsample
     vs = (target_s / dt) if target_s else 0.0
     return {
         "metric": f"{env_name} MBD denoise env-steps/sec/chip "
-                  f"(Nsample={cfg.Nsample}, H={cfg.Hsample}, "
-                  f"Ndiffuse={cfg.Ndiffuse}; wall={dt:.2f}s)",
-        "value": round(steps_per_sec),
+                  f"(fused engine; Nsample={cfg.Nsample}, H={cfg.Hsample}, "
+                  f"Ndiffuse={cfg.Ndiffuse}; full denoise wall={dt:.2f}s)",
+        "value": round(n_env_steps / dt),
         "unit": "env-steps/sec",
         "vs_baseline": round(vs, 3),
     }
@@ -64,16 +71,16 @@ def _bench_env(env_name: str, cfg_kwargs: dict, target_s: float | None):
 
 def main():
     try:
-        result = _bench_env(
+        result = _bench(
             "humanoidrun",
-            dict(Nsample=8192, Hsample=50, Ndiffuse=300, temp_sample=0.1),
-            target_s=10.0)
+            dict(Nsample=1024, Hsample=50, Ndiffuse=300, temp_sample=0.1),
+            engine="fused", target_s=10.0, chunk=25)
     except Exception:
-        result = _bench_env(
+        result = _bench(
             "car2d",
             dict(Nsample=2048, Hsample=50, Ndiffuse=100, temp_sample=0.1,
                  enable_demo=True),
-            target_s=None)
+            engine="vmap", target_s=None, chunk=99)
     print(json.dumps(result))
 
 

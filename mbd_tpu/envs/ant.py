@@ -47,3 +47,14 @@ class Ant(PhysicsEnv):
 
     def _obs(self, ps) -> jax.Array:
         return jnp.concatenate([ps.q[2:], ps.qd])
+
+    def traj_reward(self, ps_stack, us, ps0) -> jax.Array:
+        """[H, B] rewards; forward velocity from torso x displacement."""
+        x = ps_stack.x.pos[:, :, 0, :]                   # [H, B, 3]
+        prev = jnp.concatenate(
+            [jnp.broadcast_to(ps0.x.pos[0], x[:1].shape), x[:-1]], axis=0)
+        vel = (x - prev) / self.dt
+        ctrl_cost = 0.5 * jnp.sum(jnp.square(us), axis=-1)   # us [B, H, nu]
+        z = x[..., 2]
+        healthy = jnp.where((z >= 0.2) & (z <= 1.0), 1.0, 0.0)
+        return vel[..., 0] + healthy - jnp.transpose(ctrl_cost)

@@ -39,3 +39,11 @@ class Halfcheetah(PhysicsEnv):
 
     def _obs(self, ps) -> jax.Array:
         return jnp.concatenate([ps.q[1:], ps.qd])
+
+    def traj_reward(self, ps_stack, us, ps0) -> jax.Array:
+        x = ps_stack.x.pos[:, :, 0, :]                   # [H, B, 3]
+        prev = jnp.concatenate(
+            [jnp.broadcast_to(ps0.x.pos[0], x[:1].shape), x[:-1]], axis=0)
+        vel = (x - prev) / self.dt
+        ctrl_cost = 0.1 * jnp.sum(jnp.square(us), axis=-1)   # [B, H]
+        return vel[..., 0] - jnp.transpose(ctrl_cost)

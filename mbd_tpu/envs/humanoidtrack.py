@@ -74,11 +74,30 @@ class HumanoidTrack(PhysicsEnv):
         return jnp.concatenate([ps.q, ps.qd], axis=-1)
 
     def _reward(self, state) -> jax.Array:
-        ps = state.pipeline_state
+        return self._reward_ps(state.pipeline_state)
+
+    def _reward_ps(self, ps) -> jax.Array:
         return 1.0 + (
             -jnp.abs(ps.xd.vel[0, 0] - 1.6)
             - jnp.abs(ps.x.pos[0, 2] - 1.3)
             - 0.1 * jnp.abs(ps.x.pos[0, 1]))
+
+    def traj_reward(self, ps_stack, us, ps0) -> jax.Array:
+        """[H, B]; the reference computes step-t reward from the PRE-step
+        state (humanoidtrack.py:76,87), so shift by one."""
+        shifted = jax.tree.map(
+            lambda first, rest: jnp.concatenate(
+                [jnp.broadcast_to(first, rest[:1].shape), rest[:-1]],
+                axis=0),
+            ps0, ps_stack)
+        return jax.vmap(jax.vmap(self._reward_ps))(shifted)
+
+    def traj_xref_logpd(self, ps_stack) -> jax.Array:
+        """Demo tracking log-density per sample: [B] from [H, B, ...]."""
+        xs = ps_stack.x.pos[:, :, self.track_body_idx]   # [H, B, 5, 3]
+        err = jnp.linalg.norm(
+            xs - self.xref.transpose(1, 0, 2)[:, None], axis=-1)
+        return -((jnp.clip(err, 0.0, 0.5) / 0.5) ** 2).mean(axis=(0, 2))
 
     def eval_xref_logpd(self, pipeline_states) -> jax.Array:
         """Demo tracking log-density over a stacked rollout (H leading)."""

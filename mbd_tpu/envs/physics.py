@@ -52,3 +52,11 @@ class PhysicsEnv(Env):
     def observation_size(self) -> int:
         obs = jax.eval_shape(self.reset, jax.random.PRNGKey(0)).obs
         return int(obs.shape[-1])
+
+    # --- fused-rollout interface (rollout/fused.py) ---
+
+    def traj_reward(self, ps_stack, us, ps0) -> jnp.ndarray:
+        """Per-step rewards [H, B] over a stacked trajectory whose leaves
+        have leading [H, B] axes. Default: the per-state reward formula;
+        envs whose reward depends on the previous state override this."""
+        return jax.vmap(jax.vmap(self._reward))(ps_stack)

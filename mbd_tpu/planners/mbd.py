@@ -78,15 +78,31 @@ class MBDResult:
     final_reward: jax.Array   # mean reward of rolling out Ybars[-1]
 
 
+def default_engine(env) -> str:
+    """Physics envs use the batch-last fused engine; analytic envs vmap."""
+    from ..envs.physics import PhysicsEnv
+    return "fused" if isinstance(env, PhysicsEnv) else "vmap"
+
+
 def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
-                      mesh: Optional[Mesh] = None) -> Callable:
+                      mesh: Optional[Mesh] = None,
+                      engine: str = "vmap") -> Callable:
     """Build the per-step reverse update as a pure function.
 
     carry = (rng, Ybar_i); x = step index i (descending Ndiffuse-1 → 1).
+
+    ``engine``: "vmap" uses per-sample env.step under vmap (reference
+    semantics, works for every env); "fused" uses the batch-last engine
+    (sim/batched.py via rollout/fused.py) where the sample axis lives on
+    TPU lanes — the fast path for physics envs.
     """
     nu = env.action_size
-    batch_rollout = jax.vmap(
-        functools.partial(rollout_us, env.step), in_axes=(None, 0))
+    if engine == "fused":
+        from ..rollout.fused import rollout_rewards
+        batch_rollout = None
+    else:
+        batch_rollout = jax.vmap(
+            functools.partial(rollout_us, env.step), in_axes=(None, 0))
     shard = sample_sharding(mesh) if mesh is not None else None
 
     def reverse_once(carry, i):
@@ -100,7 +116,10 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
         if shard is not None:
             Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
 
-        rewss, qs = batch_rollout(state_init, Y0s)
+        if engine == "fused":
+            rewss, qs = rollout_rewards(env, state_init, Y0s)
+        else:
+            rewss, qs = batch_rollout(state_init, Y0s)
         rews = rewss.mean(axis=-1)
         rew_mean = rews.mean()
         rew_std = rews.std()
@@ -110,7 +129,10 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
         if cfg.enable_demo:
             # Demo fusion (reference :117-125): take the better of the reward
             # log-density and the demo-tracking log-density, re-standardize.
-            xref_logpds = jax.vmap(env.eval_xref_logpd)(qs)
+            if engine == "fused":
+                xref_logpds = env.traj_xref_logpd(qs)
+            else:
+                xref_logpds = jax.vmap(env.eval_xref_logpd)(qs)
             xref_logpds = xref_logpds - xref_logpds.max()
             logpdemo = (xref_logpds + env.rew_xref - rew_mean) / rew_std \
                 / cfg.temp_sample
@@ -131,7 +153,8 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
 
 def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
          mesh: Optional[Mesh] = None, jit: bool = True,
-         chunk_size: int = 0, progress_fn=None) -> MBDResult:
+         chunk_size: int = 0, progress_fn=None,
+         engine: Optional[str] = None) -> MBDResult:
     """Run the full reverse diffusion.
 
     RNG layout mirrors the reference driver (mbd_planner.py:79,137-149):
@@ -149,8 +172,11 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
         state_init = env.reset(rng_reset)
     rng_exp, rng = jax.random.split(rng)
 
+    if engine is None:
+        engine = default_engine(env)
     sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
-    reverse_once = make_reverse_once(env, cfg, state_init, sched, mesh)
+    reverse_once = make_reverse_once(env, cfg, state_init, sched, mesh,
+                                     engine=engine)
 
     def reverse_chunk(carry, steps):
         return jax.lax.scan(reverse_once, carry, steps)

@@ -85,7 +85,11 @@ class PathIntegralResult:
 
 
 def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
-         mesh: Optional[Mesh] = None, jit: bool = True) -> PathIntegralResult:
+         mesh: Optional[Mesh] = None, jit: bool = True,
+         engine: Optional[str] = None) -> PathIntegralResult:
+    if engine is None:
+        from .mbd import default_engine
+        engine = default_engine(env)
     update_fn = _UPDATE_FNS[cfg.update_method]
     nu = env.action_size
 
@@ -94,8 +98,12 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
         state_init = env.reset(rng_reset)
     rng_exp, rng = jax.random.split(rng)
 
-    batch_eval = jax.vmap(functools.partial(eval_us, env.step),
-                          in_axes=(None, 0))
+    if engine == "fused":
+        from ..rollout.fused import rollout_rewards
+        batch_eval = lambda s, y: rollout_rewards(env, s, y)[0]  # noqa: E731
+    else:
+        batch_eval = jax.vmap(functools.partial(eval_us, env.step),
+                              in_axes=(None, 0))
     shard = sample_sharding(mesh) if mesh is not None else None
 
     def update_once(carry, _):

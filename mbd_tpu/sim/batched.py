@@ -1,0 +1,736 @@
+"""Batch-last ("sample-major") engine core: the TPU hot path.
+
+The vmap engine (sim/pipeline.py) is correctness-first: per-sample tensors
+are tiny ([B, nv, 6] etc. with nv≤28), so on TPU each op wastes almost the
+entire 8×128 vector tile and the batched Cholesky hits slow library paths.
+This module re-expresses the SAME dynamics with the batch axis LAST and
+every model-structure contraction unrolled over the static topology:
+
+  * state is q [nq, B], qd [nv, B] — B lives on TPU lanes
+  * every physics quantity is a small stack of [B]-wide rows
+  * CRBA/RNEA/Jacobian sums unroll over the nonzeros of the static
+    ancestry masks (so sparsity costs nothing)
+  * the M⁻¹ solve is a Cholesky unrolled over nv as [B]-wide FMAs
+
+Every op is an elementwise [*, B] kernel that XLA fuses and tiles across
+lanes — and the identical code runs unchanged inside a Pallas kernel body
+(ops/rollout_pallas.py) where the whole H×n_frames rollout loops in VMEM.
+
+Numerics match sim/pipeline.py (same formulas, same integrator); parity is
+enforced by tests/test_batched_engine.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .system import FREE, HINGE, SLIDE, System
+from .system import (PAIR_CAPSULE_CAPSULE, PAIR_PLANE_CAPSULE,
+                     PAIR_PLANE_SPHERE, PAIR_SPHERE_BOX)
+
+Arr = jnp.ndarray   # [B] or [k, B]
+
+
+# ---------------------------------------------------------------------------
+# component-first (cf) quaternion/vec helpers: arrays are [3, B] / [4, B]
+# ---------------------------------------------------------------------------
+
+def qmul(a: Arr, b: Arr) -> Arr:
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])
+
+
+def qrot(q: Arr, v: Arr) -> Arr:
+    """Rotate [3, B] vector by [4, B] quaternion."""
+    w = q[0]
+    qv = q[1:]
+    t = 2.0 * cross(qv, v)
+    return v + w * t + cross(qv, t)
+
+
+def cross(a: Arr, b: Arr) -> Arr:
+    return jnp.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
+
+def dot3(a: Arr, b: Arr) -> Arr:
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def quat_to_cols(q: Arr) -> Tuple[Arr, Arr, Arr]:
+    """Columns of R(q) as three [3, B] vectors."""
+    w, x, y, z = q
+    c0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y + w * z),
+                    2 * (x * z - w * y)])
+    c1 = jnp.stack([2 * (x * y - w * z), 1 - 2 * (x * x + z * z),
+                    2 * (y * z + w * x)])
+    c2 = jnp.stack([2 * (x * z + w * y), 2 * (y * z - w * x),
+                    1 - 2 * (x * x + y * y)])
+    return c0, c1, c2
+
+
+def axis_angle_quat(axis_const: np.ndarray, theta: Arr) -> Arr:
+    """Quaternion [4, B] for rotation of theta [B] about a CONSTANT axis."""
+    half = 0.5 * theta
+    s = jnp.sin(half)
+    return jnp.stack([jnp.cos(half), axis_const[0] * s, axis_const[1] * s,
+                      axis_const[2] * s])
+
+
+# ---------------------------------------------------------------------------
+# FK (batch-last)
+# ---------------------------------------------------------------------------
+
+class KinB(NamedTuple):
+    xpos: List[Arr]     # nbody × [3, B]
+    xquat: List[Arr]    # nbody × [4, B]
+    S: List[Arr]        # nv × [6, B]  ([ang, lin] about world origin)
+
+
+def _body_joints(sys: System, b: int):
+    return [j for j in range(sys.njnt) if sys.jnt_bodyid[j] == b]
+
+
+def fk_b(sys: System, q: Arr) -> KinB:
+    B = q.shape[-1]
+    dtype = q.dtype
+    np_ = lambda x: np.asarray(x)  # noqa: E731
+    zero3 = jnp.zeros((3, B), dtype)
+    init_q = np.asarray(sys.init_q)
+
+    xpos: List[Arr] = [zero3]
+    xquat: List[Arr] = [jnp.concatenate(
+        [jnp.ones((1, B), dtype), jnp.zeros((3, B), dtype)])]
+    S: List[Arr] = [None] * sys.nv
+
+    body_pos = np_(sys.body_pos)
+    body_quat = np_(sys.body_quat)
+    jnt_axis = np_(sys.jnt_axis)
+    jnt_pos = np_(sys.jnt_pos)
+
+    def const3(v):
+        return jnp.broadcast_to(jnp.asarray(v, dtype)[:, None], (3, B))
+
+    for b in range(1, sys.nbody):
+        p = sys.body_parentid[b]
+        pos = xpos[p] + qrot(xquat[p], const3(body_pos[b]))
+        quat = qmul(xquat[p], jnp.broadcast_to(
+            jnp.asarray(body_quat[b], dtype)[:, None], (4, B)))
+
+        for j in _body_joints(sys, b):
+            jt = sys.jnt_type[j]
+            qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
+            if jt == FREE:
+                pos = q[qadr:qadr + 3]
+                quat = q[qadr + 3:qadr + 7]
+                quat = quat / jnp.sqrt((quat * quat).sum(0))
+                c0, c1, c2 = quat_to_cols(quat)
+                zB = jnp.zeros((3, B), dtype)
+                for k in range(3):
+                    e = zero3.at[k].set(1.0)
+                    S[dadr + k] = jnp.concatenate([zB, e])
+                for k, w in enumerate((c0, c1, c2)):
+                    S[dadr + 3 + k] = jnp.concatenate([w, cross(pos, w)])
+            elif jt == HINGE:
+                theta = q[qadr] - init_q[qadr]
+                axis_w = qrot(quat, const3(jnt_axis[j]))
+                anchor_w = pos + qrot(quat, const3(jnt_pos[j]))
+                dq = axis_angle_quat(jnt_axis[j], theta)
+                quat = qmul(quat, dq)
+                pos = anchor_w - qrot(quat, const3(jnt_pos[j]))
+                S[dadr] = jnp.concatenate([axis_w, cross(anchor_w, axis_w)])
+            elif jt == SLIDE:
+                axis_w = qrot(quat, const3(jnt_axis[j]))
+                pos = pos + axis_w * (q[qadr] - init_q[qadr])
+                S[dadr] = jnp.concatenate([jnp.zeros((3, B), dtype), axis_w])
+            else:
+                raise NotImplementedError
+        xpos.append(pos)
+        xquat.append(quat)
+    return KinB(xpos, xquat, S)
+
+
+# ---------------------------------------------------------------------------
+# smooth dynamics (batch-last, sparsity-unrolled)
+# ---------------------------------------------------------------------------
+
+def _anc_dofs(sys: System, b: int) -> List[int]:
+    """Dof indices on ancestor-or-self bodies of b (static)."""
+    mask = np.asarray(jax.device_get(sys.mask_ancdof_body))
+    return [i for i in range(sys.nv) if mask[b, i] > 0]
+
+
+class TopoCache:
+    """Static topology unroll info, computed once per System."""
+
+    def __init__(self, sys: System):
+        A = np.asarray(sys.mask_ancdof_body)
+        self.ancdof_body = [
+            [i for i in range(sys.nv) if A[b, i] > 0]
+            for b in range(sys.nbody)]
+        D = np.asarray(sys.mask_dof_dof)
+        self.dof_pairs = [(i, j) for i in range(sys.nv)
+                          for j in range(sys.nv)
+                          if j <= i and (D[i, j] > 0 or D[j, i] > 0)]
+        P = np.asarray(sys.mask_dof_prevdof)
+        self.prevdof = [[j for j in range(sys.nv) if P[i, j] > 0]
+                        for i in range(sys.nv)]
+        Sub = np.asarray(sys.mask_subtree)
+        self.subtree = [[d for d in range(sys.nbody) if Sub[b, d] > 0]
+                        for b in range(sys.nbody)]
+        self.dof_body = list(sys.dof_bodyid)
+        # M sparsity pattern as lower-triangular index set
+        self.M_lower = {}
+        for (i, j) in self.dof_pairs:
+            self.M_lower[(i, j)] = True
+
+
+_TOPO_CACHE: Dict[int, TopoCache] = {}
+
+
+def topo(sys: System) -> TopoCache:
+    key = id(sys.contact_pairs) ^ hash(
+        (sys.nv, sys.nbody, sys.body_parentid, sys.jnt_type))
+    if key not in _TOPO_CACHE:
+        _TOPO_CACHE[key] = TopoCache(sys)
+    return _TOPO_CACHE[key]
+
+
+def spatial_inertia_b(sys: System, kin: KinB, b: int) -> List[List[Arr]]:
+    """6×6 world spatial inertia of body b as a nested list of [B] rows.
+
+    I = [[ I_rot + m c×c×ᵀ,  m c× ], [ m c×ᵀ, m·1 ]] about world origin.
+    """
+    dtype = kin.xpos[1].dtype
+    B = kin.xpos[1].shape[-1]
+    m = float(np.asarray(sys.body_mass)[b])
+    ipos = np.asarray(sys.body_ipos)[b]
+    iquat = np.asarray(sys.body_iquat)[b]
+    diag = np.asarray(sys.body_inertia)[b]
+
+    const = lambda v: jnp.broadcast_to(  # noqa: E731
+        jnp.asarray(v, dtype)[:, None], (len(v), B))
+    com = kin.xpos[b] + qrot(kin.xquat[b], const(ipos))
+    iq = qmul(kin.xquat[b], const(iquat))
+    c0, c1, c2 = quat_to_cols(iq)
+    # I_rot = R diag Rᵀ = Σ_k diag_k c_k c_kᵀ
+    cols = (c0, c1, c2)
+    Irot = [[sum(float(diag[k]) * cols[k][a] * cols[k][bb]
+                 for k in range(3)) for bb in range(3)] for a in range(3)]
+    cx, cy, cz = com[0], com[1], com[2]
+    # m (c·c δ_ab − c_a c_b) added to I_rot gives I about origin
+    c2sum = cx * cx + cy * cy + cz * cz
+    comv = (cx, cy, cz)
+    I = [[None] * 6 for _ in range(6)]
+    for a in range(3):
+        for bb in range(3):
+            extra = m * ((c2sum if a == bb else 0.0) - comv[a] * comv[bb])
+            I[a][bb] = Irot[a][bb] + extra
+    # top-right m c× ; bottom-left m c×ᵀ ; bottom-right m I₃
+    zeroB = jnp.zeros(B, dtype)
+    cxm = [[zeroB, -m * cz, m * cy],
+           [m * cz, zeroB, -m * cx],
+           [-m * cy, m * cx, zeroB]]
+    for a in range(3):
+        for bb in range(3):
+            I[a][3 + bb] = cxm[a][bb]
+            I[3 + a][bb] = cxm[bb][a]
+            I[3 + a][3 + bb] = jnp.full((), m, dtype) + zeroB \
+                if a == bb else zeroB
+    return I
+
+
+def smooth_b(sys: System, kin: KinB, qd: Arr):
+    """Returns (M_low dict[(i,j)→[B]], bias [nv×[B]], v_b list, I_sub).
+
+    Same math as dynamics.smooth_terms, unrolled over static sparsity.
+    """
+    tc = topo(sys)
+    dtype = qd.dtype
+    B = qd.shape[-1]
+
+    # per-body spatial inertias (about origin)
+    I_b = [None] + [spatial_inertia_b(sys, kin, b)
+                    for b in range(1, sys.nbody)]
+
+    # dofs directly on each body (static)
+    own_dofs = [[i for i in range(sys.nv) if tc.dof_body[i] == b]
+                for b in range(sys.nbody)]
+    children = [[c for c in range(1, sys.nbody)
+                 if sys.body_parentid[c] == b] for b in range(sys.nbody)]
+
+    # composite (subtree) inertias by reverse tree accumulation
+    Ic = [None] * sys.nbody
+    for b in range(sys.nbody - 1, 0, -1):
+        out = [row[:] for row in I_b[b]]
+        for c in children[b]:
+            Icc = Ic[c]
+            for a in range(6):
+                for cc in range(6):
+                    out[a][cc] = out[a][cc] + Icc[a][cc]
+        Ic[b] = out
+
+    # W_i = S_i qd_i ; body velocities by forward tree accumulation
+    W = [kin.S[i] * qd[i] for i in range(sys.nv)]
+    v_b = [jnp.zeros((6, B), dtype)]
+    for b in range(1, sys.nbody):
+        v = v_b[sys.body_parentid[b]]
+        for i in own_dofs[b]:
+            v = v + W[i]
+        v_b.append(v)
+
+    # mass matrix: M[i,j] = S_j · (Ic_{body(i)} S_i)
+    def matvec6(Imat, v):
+        rows = [sum(Imat[a][c] * v[c] for c in range(6)) for a in range(6)]
+        return jnp.stack(rows)
+
+    F = [None] * sys.nv
+    for i in range(sys.nv):
+        F[i] = matvec6(Ic[tc.dof_body[i]], kin.S[i])
+    M_low: Dict[Tuple[int, int], Arr] = {}
+    for (i, j) in tc.dof_pairs:
+        M_low[(i, j)] = (F[i] * kin.S[j]).sum(0)
+    arm = np.asarray(sys.dof_armature)
+    for i in range(sys.nv):
+        M_low[(i, i)] = M_low[(i, i)] + float(arm[i])
+
+    # bias: a_b = −g + Σ Ṡ_i q̇_i with Ṡ_i = v_partial_i ×m S_i
+    def crm(v, m):
+        vang, vlin = v[:3], v[3:]
+        mang, mlin = m[:3], m[3:]
+        return jnp.concatenate([cross(vang, mang),
+                                cross(vang, mlin) + cross(vlin, mang)])
+
+    # per-dof partial velocity: parent-body velocity + earlier same-body
+    # dofs (free-joint rotations see translations only — tc.prevdof)
+    Sdot_qd = []
+    for i in range(sys.nv):
+        b = tc.dof_body[i]
+        vp = v_b[sys.body_parentid[b]]
+        extra = [j for j in tc.prevdof[i] if tc.dof_body[j] == b]
+        for j in extra:
+            vp = vp + W[j]
+        Sdot_qd.append(crm(vp, W[i]))
+
+    g = np.asarray(sys.gravity)
+    g_sp = np.concatenate([np.zeros(3), -g])
+    a_b = [jnp.broadcast_to(jnp.asarray(g_sp, dtype)[:, None], (6, B))]
+    for b in range(1, sys.nbody):
+        a = a_b[sys.body_parentid[b]]
+        for i in own_dofs[b]:
+            a = a + Sdot_qd[i]
+        a_b.append(a)
+
+    def crf(v, f):
+        vang, vlin = v[:3], v[3:]
+        fang, flin = f[:3], f[3:]
+        return jnp.concatenate([cross(vang, fang) + cross(vlin, flin),
+                                cross(vang, flin)])
+
+    f_b = [None] * sys.nbody
+    for b in range(1, sys.nbody):
+        Ib = I_b[b]
+        Iv = matvec6(Ib, v_b[b])
+        Ia = matvec6(Ib, a_b[b])
+        f_b[b] = Ia + crf(v_b[b], Iv)
+
+    # subtree force sums by reverse accumulation
+    f_sub = [None] * sys.nbody
+    for b in range(sys.nbody - 1, 0, -1):
+        fs = f_b[b]
+        for c in children[b]:
+            fs = fs + f_sub[c]
+        f_sub[b] = fs
+
+    bias = [(kin.S[i] * f_sub[tc.dof_body[i]]).sum(0)
+            for i in range(sys.nv)]
+
+    return M_low, bias, v_b
+
+
+# ---------------------------------------------------------------------------
+# unrolled dense Cholesky solve over the static nv (batch-wide)
+# ---------------------------------------------------------------------------
+
+class LDL(NamedTuple):
+    L: Dict[Tuple[int, int], Arr]   # strictly-lower factor entries (i, j<i)
+    Dg: List[Arr]
+    dof_parent: Tuple[int, ...]
+    nv: int
+
+
+def _dof_parents(sys: System) -> Tuple[int, ...]:
+    """dof-tree parent: largest j < i with body(j) ancestor-or-self of
+    body(i); −1 at roots. M's sparsity pattern is exactly the ancestor
+    paths of this tree."""
+    D = np.asarray(sys.mask_dof_dof)
+    out = []
+    for i in range(sys.nv):
+        anc = [j for j in range(i) if D[i, j] > 0]
+        out.append(anc[-1] if anc else -1)
+    return tuple(out)
+
+
+def ldl_factor(M_low: Dict[Tuple[int, int], Arr], sys: System,
+               extra_diag: List = None) -> LDL:
+    """Featherstone tree-sparse LᵀDL factorization (RBDA §6.5).
+
+    Eliminates leaf-most dofs first, so a tree-structured M factors with
+    ZERO fill: L has entries only at (dof, ancestor) positions. Ops are
+    Σ_k depth(k)² [B]-wide FMAs instead of nv³/6.
+    """
+    nv = sys.nv
+    parent = _dof_parents(sys)
+    H: Dict[Tuple[int, int], Arr] = dict(M_low)
+    if extra_diag is not None:
+        for i in range(nv):
+            if extra_diag[i] is not None:
+                H[(i, i)] = H[(i, i)] + extra_diag[i]
+
+    for k in range(nv - 1, -1, -1):
+        i = parent[k]
+        inv_d = 1.0 / H[(k, k)]
+        while i >= 0:
+            a = H[(k, i)] * inv_d
+            j = i
+            while j >= 0:
+                H[(i, j)] = H[(i, j)] - a * H[(k, j)]
+                j = parent[j]
+            H[(k, i)] = a
+            i = parent[i]
+
+    L = {key: v for key, v in H.items() if key[0] != key[1]}
+    Dg = [H[(i, i)] for i in range(nv)]
+    return LDL(L, Dg, parent, nv)
+
+
+def ldl_solve(f: LDL, rhs: List[Arr]) -> List[Arr]:
+    """Solve (LᵀDL) x = rhs along the dof tree. rhs entries may be None
+    (structural zeros)."""
+    x: List[Arr] = list(rhs)
+    # Lᵀ y = rhs (leaf → root)
+    for i in range(f.nv - 1, -1, -1):
+        if x[i] is None:
+            continue
+        j = f.dof_parent[i]
+        while j >= 0:
+            t = f.L[(i, j)] * x[i]
+            x[j] = -t if x[j] is None else x[j] - t
+            j = f.dof_parent[j]
+    for i in range(f.nv):
+        if x[i] is not None:
+            x[i] = x[i] / f.Dg[i]
+    # L x = y (root → leaf)
+    for i in range(f.nv):
+        j = f.dof_parent[i]
+        while j >= 0:
+            if x[j] is not None:
+                t = f.L[(i, j)] * x[j]
+                x[i] = -t if x[i] is None else x[i] - t
+            j = f.dof_parent[j]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# collision + contact (batch-last)
+# ---------------------------------------------------------------------------
+
+class ContactB(NamedTuple):
+    pos: Arr      # [3, B]
+    normal: Arr   # [3, B]
+    depth: Arr    # [B]
+    mu: float
+    body_a: int
+    body_b: int
+
+
+def _geom_world(sys: System, kin: KinB, g: int):
+    dtype = kin.xpos[1].dtype
+    B = kin.xpos[1].shape[-1]
+    b = sys.geom_bodyid[g]
+    gp = np.asarray(sys.geom_pos)[g]
+    gq = np.asarray(sys.geom_quat)[g]
+    cp = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype)[:, None],
+                                    (len(v), B))
+    if b == 0:
+        return cp(gp), cp(gq)
+    pos = kin.xpos[b] + qrot(kin.xquat[b], cp(gp))
+    quat = qmul(kin.xquat[b], cp(gq))
+    return pos, quat
+
+
+def collide_b(sys: System, kin: KinB) -> List[ContactB]:
+    out: List[ContactB] = []
+    size = np.asarray(sys.geom_size)
+    fric = np.asarray(sys.geom_friction)
+    dtype = kin.xpos[1].dtype
+    B = kin.xpos[1].shape[-1]
+
+    def zhat(q):
+        c0, c1, c2 = quat_to_cols(q)
+        return c2
+
+    for kind, ga, gb in sys.contact_pairs:
+        mu = float(max(fric[ga, 0], fric[gb, 0]))
+        ba, bb = sys.geom_bodyid[ga], sys.geom_bodyid[gb]
+        pa, qa = _geom_world(sys, kin, ga)
+        pb, qb = _geom_world(sys, kin, gb)
+        if kind == PAIR_PLANE_SPHERE:
+            n = zhat(qa)
+            r = float(size[gb, 0])
+            dist = dot3(n, pb - pa) - r
+            pos = pb - n * (r + 0.5 * dist)
+            out.append(ContactB(pos, n, -dist, mu, ba, bb))
+        elif kind == PAIR_PLANE_CAPSULE:
+            n = zhat(qa)
+            axis = zhat(qb)
+            r, hl = float(size[gb, 0]), float(size[gb, 1])
+            for sgn in (1.0, -1.0):
+                e = pb + axis * (hl * sgn)
+                dist = dot3(n, e - pa) - r
+                pos = e - n * (r + 0.5 * dist)
+                out.append(ContactB(pos, n, -dist, mu, ba, bb))
+        elif kind == PAIR_CAPSULE_CAPSULE:
+            r1, hl1 = float(size[ga, 0]), float(size[ga, 1])
+            r2, hl2 = float(size[gb, 0]), float(size[gb, 1])
+            d1, d2 = zhat(qa), zhat(qb)
+            rvec = pa - pb
+            bq = dot3(d1, d2)
+            c = dot3(d1, rvec)
+            fq = dot3(d2, rvec)
+            denom = 1.0 - bq * bq
+            denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            s = jnp.clip((bq * fq - c) / denom, -hl1, hl1)
+            t = jnp.clip(bq * s + fq, -hl2, hl2)
+            s = jnp.clip(bq * t - c, -hl1, hl1)
+            c1p = pa + d1 * s
+            c2p = pb + d2 * t
+            delta = c2p - c1p
+            dist = jnp.sqrt(dot3(delta, delta))
+            n = delta / jnp.maximum(dist, 1e-9)
+            depth = (r1 + r2) - dist
+            pos = 0.5 * (c1p + n * r1 + c2p - n * r2)
+            out.append(ContactB(pos, n, depth, mu, ba, bb))
+        elif kind == PAIR_SPHERE_BOX:
+            r = float(size[ga, 0])
+            bs = size[gb]
+            c0, c1, c2 = quat_to_cols(qb)
+            d = pa - pb
+            pl = jnp.stack([dot3(c0, d), dot3(c1, d), dot3(c2, d)])
+            bs_c = jnp.asarray(bs, dtype)[:, None]
+            clamped = jnp.clip(pl, -bs_c, bs_c)
+            delta = pl - clamped
+            dist_out = jnp.sqrt(dot3(delta, delta))
+            outside = dist_out > 1e-9
+            n_out = -delta / jnp.maximum(dist_out, 1e-9)
+            depth_out = r - dist_out
+            face_dist = bs_c - jnp.abs(pl)
+            kmin = jnp.argmin(face_dist, axis=0)
+            sign = jnp.sign(jnp.take_along_axis(pl, kmin[None], 0)[0])
+            n_in = -sign * jnp.stack(
+                [jnp.where(kmin == a, 1.0, 0.0) for a in range(3)])
+            depth_in = r + jnp.take_along_axis(face_dist, kmin[None], 0)[0]
+            n_local = jnp.where(outside, n_out, n_in)
+            depth = jnp.where(outside, depth_out, depth_in)
+            surf = jnp.where(outside, clamped, pl)
+            # rotate local → world: n = R n_local
+            rot = lambda v: c0 * v[0] + c1 * v[1] + c2 * v[2]
+            out.append(ContactB(pb + rot(surf), rot(n_local), depth, mu,
+                                ba, bb))
+        else:
+            raise NotImplementedError
+    return out
+
+
+def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
+                   cons: List[ContactB], fac: LDL,
+                   qfrc: List[Arr]) -> List[Arr]:
+    """Accumulate penalty contact forces into qfrc (list of [B] per dof)."""
+    tc = topo(sys)
+    k = sys.contact_stiffness
+    bdamp = sys.contact_damping
+    eps = sys.friction_vel_tol
+
+    for con in cons:
+        dofs_b = tc.ancdof_body[con.body_b]
+        dofs_a = tc.ancdof_body[con.body_a]
+        sgn = {i: 1.0 for i in dofs_b}
+        for i in dofs_a:
+            sgn[i] = sgn.get(i, 0.0) - 1.0
+        dofs = [i for i, s in sgn.items() if s != 0.0]
+
+        p, n = con.pos, con.normal
+
+        def pvel(b):
+            vang, vlin = v_b[b][:3], v_b[b][3:]
+            return vlin + cross(vang, p)
+
+        v_rel = pvel(con.body_b) - pvel(con.body_a)
+        vn = dot3(v_rel, n)
+        vt = v_rel - vn * n
+
+        # normal Jacobian row (sparse over dofs)
+        pxn = cross(p, n)
+        Jn = {}
+        for i in dofs:
+            S = kin.S[i]
+            Jn[i] = sgn[i] * (S[0] * pxn[0] + S[1] * pxn[1] + S[2] * pxn[2]
+                              + S[3] * n[0] + S[4] * n[1] + S[5] * n[2])
+        rhs = [Jn.get(i) for i in range(sys.nv)]
+        MinvJ = ldl_solve(fac, rhs)
+        jmj = None
+        for i in dofs:
+            t = Jn[i] * MinvJ[i]
+            jmj = t if jmj is None else jmj + t
+        m_eff = 1.0 / (jmj + 1e-8)
+
+        active = con.depth > 0.0
+        fn = m_eff * jnp.maximum(k * con.depth - bdamp * vn, 0.0) * active
+        t_dir = vt / jnp.sqrt(dot3(vt, vt) + eps * eps)
+        F = fn * n - con.mu * fn * t_dir
+        pxF = cross(p, F)
+        for i in dofs:
+            S = kin.S[i]
+            qfrc[i] = qfrc[i] + sgn[i] * (
+                S[0] * pxF[0] + S[1] * pxF[1] + S[2] * pxF[2]
+                + S[3] * F[0] + S[4] * F[1] + S[5] * F[2])
+    return qfrc
+
+
+# ---------------------------------------------------------------------------
+# full substep + rollout (batch-last)
+# ---------------------------------------------------------------------------
+
+def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr):
+    """One physics substep. q [nq, B], qd [nv, B], ctrl [nu, B]."""
+    tc = topo(sys)
+    dtype = q.dtype
+    B = q.shape[-1]
+    h = float(np.asarray(sys.dt))
+    damping = np.asarray(sys.dof_damping)
+
+    kin = fk_b(sys, q)
+    M_low, bias, v_b = smooth_b(sys, kin, qd)
+
+    fac = ldl_factor(
+        M_low, sys,
+        extra_diag=[jnp.full(B, h * float(damping[i]), dtype)
+                    if damping[i] != 0.0 else None
+                    for i in range(sys.nv)])
+
+    # actuators: gear · clip(u)
+    qfrc: List[Arr] = [jnp.zeros(B, dtype) for _ in range(sys.nv)]
+    gear = np.asarray(sys.actuator_gear)
+    crange = np.asarray(sys.actuator_ctrlrange)
+    for a in range(sys.nu):
+        dadr = sys.jnt_dofadr[sys.actuator_jntid[a]]
+        u = jnp.clip(ctrl[a], float(crange[a, 0]), float(crange[a, 1]))
+        qfrc[dadr] = qfrc[dadr] + float(gear[a]) * u
+
+    # springs + joint limits (diagonal effective mass, cf. dynamics.py)
+    stiff = np.asarray(sys.jnt_stiffness)
+    qspring = np.asarray(sys.qpos_spring)
+    jrange = np.asarray(sys.jnt_range)
+    k_lim = float(np.asarray(sys.limit_stiffness))
+    b_lim = float(np.asarray(sys.limit_damping))
+    for j in range(sys.njnt):
+        if sys.jnt_type[j] not in (SLIDE, HINGE):
+            continue
+        qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
+        if stiff[j] != 0.0:
+            qfrc[dadr] = qfrc[dadr] - float(stiff[j]) * (
+                q[qadr] - float(qspring[qadr]))
+        if sys.jnt_limited[j]:
+            lo, hi = float(jrange[j, 0]), float(jrange[j, 1])
+            below = jnp.maximum(lo - q[qadr], 0.0)
+            above = jnp.maximum(q[qadr] - hi, 0.0)
+            active = (below > 0) | (above > 0)
+            m_eff = M_low[(dadr, dadr)] + h * float(damping[dadr])
+            a_ref = k_lim * (below - above) \
+                - jnp.where(active, b_lim * qd[dadr], 0.0)
+            qfrc[dadr] = qfrc[dadr] + m_eff * a_ref
+
+    if sys.contact_pairs:
+        cons = collide_b(sys, kin)
+        qfrc = contact_qfrc_b(sys, kin, v_b, cons, fac, qfrc)
+
+    rhs = [qfrc[i] - bias[i] - float(damping[i]) * qd[i]
+           for i in range(sys.nv)]
+    qacc = ldl_solve(fac, rhs)
+
+    qd_new = jnp.stack([qd[i] + h * qacc[i] for i in range(sys.nv)])
+    q_new = integrate_pos_b(sys, q, qd_new, h)
+    return q_new, qd_new
+
+
+def integrate_pos_b(sys: System, q: Arr, qd: Arr, h: float) -> Arr:
+    rows = [None] * sys.nq
+    for j in range(sys.njnt):
+        jt = sys.jnt_type[j]
+        qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
+        if jt == FREE:
+            for k in range(3):
+                rows[qadr + k] = q[qadr + k] + h * qd[dadr + k]
+            quat = q[qadr + 3:qadr + 7]
+            w = qd[dadr + 3:dadr + 6]
+            wn = jnp.sqrt(dot3(w, w))
+            angle = wn * h
+            half = 0.5 * angle
+            sinc = jnp.where(wn < 1e-12, 0.5 * h,
+                             jnp.sin(half) / jnp.maximum(wn, 1e-12))
+            dq = jnp.concatenate([jnp.cos(half)[None], w * sinc])
+            qn = qmul(quat, dq)
+            qn = qn / jnp.sqrt((qn * qn).sum(0))
+            for k in range(4):
+                rows[qadr + 3 + k] = qn[k]
+        else:
+            rows[qadr] = q[qadr] + h * qd[dadr]
+    return jnp.stack(rows)
+
+
+def env_step_b(sys: System, q: Arr, qd: Arr, ctrl: Arr, n_frames: int):
+    """n_frames substeps (fori_loop — body traced once)."""
+    def body(_, carry):
+        q, qd = carry
+        return substep_b(sys, q, qd, ctrl)
+
+    return jax.lax.fori_loop(0, n_frames, body, (q, qd))
+
+
+class LinkOutB(NamedTuple):
+    """Batch-last link quantities consumed by env reward functions."""
+    xpos: List[Arr]    # nbody × [3, B] (world body-frame origins, incl world)
+    xquat: List[Arr]
+    vel: List[Arr]     # nbody × [3, B] velocity of body origin
+    ang: List[Arr]
+
+
+def link_out_b(sys: System, q: Arr, qd: Arr) -> LinkOutB:
+    tc = topo(sys)
+    kin = fk_b(sys, q)
+    W = [kin.S[i] * qd[i] for i in range(sys.nv)]
+    vel, ang = [kin.xpos[0] * 0.0], [kin.xpos[0] * 0.0]
+    for b in range(1, sys.nbody):
+        v = jnp.zeros_like(W[0]) if sys.nv else None
+        v = None
+        for i in tc.ancdof_body[b]:
+            v = W[i] if v is None else v + W[i]
+        if v is None:
+            v = jnp.zeros((6,) + q.shape[-1:], q.dtype)
+        a = v[:3]
+        vel.append(v[3:] + cross(a, kin.xpos[b]))
+        ang.append(a)
+    return LinkOutB(kin.xpos, kin.xquat, vel, ang)

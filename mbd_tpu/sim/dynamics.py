@@ -116,9 +116,11 @@ def passive_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
 
 
 def limit_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
-                Minv: jnp.ndarray) -> jnp.ndarray:
+                M_diag: jnp.ndarray) -> jnp.ndarray:
     """Joint-limit penalty torque: effective-mass-scaled acceleration spring
-    (same solver model as contacts — see sim/contact.py)."""
+    (same solver model as contacts — see sim/contact.py). The effective mass
+    uses the M diagonal (MuJoCo-style diagonal approximation), which keeps
+    the batch-last hot path free of extra triangular solves."""
     qadr_all, dadr_all, jids_all = _onedof_maps(sys)
     keep = [i for i, j in enumerate(jids_all) if sys.jnt_limited[j]]
     if not keep:
@@ -131,7 +133,7 @@ def limit_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
     below = jnp.maximum(lo - qj, 0.0)
     above = jnp.maximum(qj - hi, 0.0)
     active = (below > 0) | (above > 0)
-    m_eff = 1.0 / (Minv[dadr, dadr] + 1e-8)
+    m_eff = M_diag[dadr]
     a_ref = sys.limit_stiffness * (below - above) \
         - jnp.where(active, sys.limit_damping * qdj, 0.0)
     return jnp.zeros(sys.nv, q.dtype).at[dadr].set(m_eff * a_ref)

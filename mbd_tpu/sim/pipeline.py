@@ -121,7 +121,7 @@ def _substep(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
 
     tau = dynamics.actuator_force(sys, ctrl)
     tau = tau + dynamics.passive_force(sys, q, qd)
-    tau = tau + dynamics.limit_force(sys, q, qd, Minv)
+    tau = tau + dynamics.limit_force(sys, q, qd, jnp.diag(M_imp))
 
     if sys.contact_pairs:
         gpos, gquat = kinematics.geom_poses(sys, kin)

@@ -1,0 +1,85 @@
+"""Parity: batch-last engine (sim/batched.py) vs the vmap engine.
+
+Same formulas, different layouts — results must agree to f32 roundoff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbd_tpu.envs.physics import asset_path
+from mbd_tpu.sim import batched as BT
+from mbd_tpu.sim import pipeline as P
+from mbd_tpu.sim.system import load_mjcf
+
+# humanoid scenes excluded here purely for test-suite compile time; their
+# parity is covered by the planner-level check in test_fused_planner.py
+SCENES = ["cartpole", "hopper", "pushT"]
+
+
+def _rand_batch(sys, B=4, seed=0):
+    rng = np.random.default_rng(seed)
+    qs = np.tile(np.asarray(sys.init_q)[:, None], (1, B)) \
+        + rng.normal(size=(sys.nq, B)) * 0.05
+    for j in range(sys.njnt):
+        if sys.jnt_type[j] == 0:
+            a = sys.jnt_qposadr[j]
+            qs[a + 3:a + 7] /= np.linalg.norm(qs[a + 3:a + 7], axis=0)
+    qds = rng.normal(size=(sys.nv, B)) * 0.3
+    ctrl = rng.normal(size=(sys.nu, B)) * 0.5
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    return f32(qs), f32(qds), f32(ctrl)
+
+
+@pytest.mark.parametrize("scene", SCENES)
+def test_substep_parity(scene):
+    sys = load_mjcf(asset_path(f"{scene}.xml"))
+    qs, qds, ctrl = _rand_batch(sys)
+
+    def step1(q, qd, u):
+        st = P.make_state(sys, q, qd)
+        st2 = P.pipeline_step(sys, st, u, 1)
+        return st2.q, st2.qd
+
+    qv, qdv = jax.jit(jax.vmap(step1, in_axes=(1, 1, 1), out_axes=1))(
+        qs, qds, ctrl)
+    qb, qdb = jax.jit(lambda a, b, c: BT.env_step_b(sys, a, b, c, 1))(
+        qs, qds, ctrl)
+    np.testing.assert_allclose(np.asarray(qv), np.asarray(qb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qdv), np.asarray(qdb), atol=1e-3)
+
+
+def test_link_out_matches_pipeline_state():
+    sys = load_mjcf(asset_path("hopper.xml"))
+    qs, qds, _ = _rand_batch(sys)
+    out = BT.link_out_b(sys, qs, qds)
+    st = jax.vmap(lambda q, qd: P.make_state(sys, q, qd),
+                  in_axes=(1, 1))(qs, qds)
+    for b in range(1, sys.nbody):
+        np.testing.assert_allclose(
+            np.asarray(out.xpos[b]).T, np.asarray(st.x.pos[:, b - 1]),
+            atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.vel[b]).T, np.asarray(st.xd.vel[:, b - 1]),
+            atol=1e-4)
+
+
+def test_fused_rollout_matches_vmap_rollout():
+    import functools
+
+    from mbd_tpu import envs
+    from mbd_tpu.rollout import rollout_us
+    from mbd_tpu.rollout.fused import rollout_rewards
+
+    env = envs.get_env("hopper")
+    state0 = env.reset(jax.random.PRNGKey(0))
+    Y0s = jax.random.uniform(jax.random.PRNGKey(1), (8, 10, 3),
+                             minval=-1, maxval=1)
+    rews_v, _ = jax.jit(jax.vmap(
+        functools.partial(rollout_us, env.step), in_axes=(None, 0)))(
+            state0, Y0s)
+    rews_f, ps = jax.jit(lambda s, y: rollout_rewards(env, s, y))(
+        state0, Y0s)
+    np.testing.assert_allclose(np.asarray(rews_v), np.asarray(rews_f),
+                               atol=2e-3)

@@ -1,0 +1,36 @@
+"""Planner-level agreement between the fused and vmap engines."""
+
+import jax
+import numpy as np
+import pytest
+
+from mbd_tpu import envs
+from mbd_tpu.planners import mbd, path_integral
+
+
+@pytest.mark.slow
+def test_mbd_fused_matches_vmap_on_hopper():
+    env = envs.get_env("hopper")
+    cfg = mbd.MBDConfig(Nsample=64, Hsample=20, Ndiffuse=8, temp_sample=0.1)
+    r1 = mbd.plan(env, cfg, jax.random.PRNGKey(0), engine="vmap")
+    r2 = mbd.plan(env, cfg, jax.random.PRNGKey(0), engine="fused")
+    # identical RNG stream → identical sampled controls → the mean-reward
+    # traces agree to f32 rollout tolerance (softmax chaos precludes
+    # bitwise Ybar equality, as with the reference's own reruns)
+    np.testing.assert_allclose(np.asarray(r1.rews_trace),
+                               np.asarray(r2.rews_trace), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_path_integral_fused_matches_vmap_on_hopper():
+    env = envs.get_env("hopper")
+    cfg = path_integral.PathIntegralConfig(
+        update_method="mppi", Nsample=64, Hsample=20, Nrefine=8)
+    r1 = path_integral.plan(env, cfg, jax.random.PRNGKey(0), engine="vmap")
+    r2 = path_integral.plan(env, cfg, jax.random.PRNGKey(0), engine="fused")
+    # MPPI feeds the barycenter straight back, so f32 roundoff amplifies
+    # chaotically over iterations — compare the early trace tightly and the
+    # rest only in magnitude
+    np.testing.assert_allclose(np.asarray(r1.rews_trace[:3]),
+                               np.asarray(r2.rews_trace[:3]), atol=5e-3)
+    assert np.abs(np.asarray(r2.rews_trace)).max() < 10.0
