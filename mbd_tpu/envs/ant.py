@@ -58,3 +58,13 @@ class Ant(PhysicsEnv):
         z = x[..., 2]
         healthy = jnp.where((z >= 0.2) & (z <= 1.0), 1.0, 0.0)
         return vel[..., 0] + healthy - jnp.transpose(ctrl_cost)
+
+
+    def reward_qs_b(self, qs, qds, us, q0, qd0):
+        """Batch-last fast path: free root → torso pos = q[0:3]; velocity
+        from x displacement over env.dt."""
+        prev = jnp.concatenate([q0[None, 0], qs[:-1, 0]], axis=0)
+        vel = (qs[:, 0] - prev) / self.dt
+        healthy = jnp.where((qs[:, 2] >= 0.2) & (qs[:, 2] <= 1.0), 1.0, 0.0)
+        ctrl_cost = 0.5 * (us ** 2).sum(1)
+        return vel + healthy - ctrl_cost

@@ -43,3 +43,8 @@ class Cartpole(PhysicsEnv):
     @property
     def action_size(self) -> int:
         return 1
+
+
+    def reward_qs_b(self, qs, qds, us, q0, qd0):
+        """Batch-last fast path: reward is a pure (q, qd) function."""
+        return jnp.cos(qs[:, 1]) - jnp.abs(qds[:, 0])

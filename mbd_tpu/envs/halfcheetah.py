@@ -47,3 +47,10 @@ class Halfcheetah(PhysicsEnv):
         vel = (x - prev) / self.dt
         ctrl_cost = 0.1 * jnp.sum(jnp.square(us), axis=-1)   # [B, H]
         return vel[..., 0] - jnp.transpose(ctrl_cost)
+
+
+    def reward_qs_b(self, qs, qds, us, q0, qd0):
+        """Batch-last fast path: torso x = q[0]."""
+        prev = jnp.concatenate([q0[None, 0], qs[:-1, 0]], axis=0)
+        vel = (qs[:, 0] - prev) / self.dt
+        return vel - 0.1 * (us ** 2).sum(1)

@@ -49,3 +49,10 @@ class Hopper(PhysicsEnv):
     def _reward(self, ps) -> jax.Array:
         return ps.x.pos[0, 0] - 0.5 * jnp.clip(
             jnp.abs(ps.x.pos[0, 2] - 1.0), -1.0, 1.0)
+
+
+    def reward_qs_b(self, qs, qds, us, q0, qd0):
+        """Batch-last fast path: torso (x, z) = (q[0], q[1]) for this
+        morphology (verified vs FK), so rewards need no kinematics."""
+        import jax.numpy as jnp
+        return qs[:, 0] - 0.5 * jnp.clip(jnp.abs(qs[:, 1] - 1.0), -1.0, 1.0)

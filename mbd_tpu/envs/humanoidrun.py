@@ -42,3 +42,10 @@ class HumanoidRun(PhysicsEnv):
         return (ps.x.pos[0, 0]
                 - jnp.clip(jnp.abs(ps.x.pos[0, 2] - 1.3), -1.0, 1.0)
                 - 0.1 * jnp.abs(ps.x.pos[0, 1]))
+
+
+    def reward_qs_b(self, qs, qds, us, q0, qd0):
+        """Batch-last fast path: free root → torso pos = q[0:3]."""
+        return (qs[:, 0]
+                - jnp.clip(jnp.abs(qs[:, 2] - 1.3), -1.0, 1.0)
+                - 0.1 * jnp.abs(qs[:, 1]))

@@ -43,3 +43,11 @@ class HumanoidStandup(PhysicsEnv):
                 - jnp.clip(jnp.abs(ps.x.pos[0, 2] - 1.3), -2.0, 1.0)
                 - 0.1 * jnp.abs(ps.x.pos[0, 0])
                 - 0.1 * jnp.abs(ps.x.pos[0, 1]))
+
+
+    def reward_qs_b(self, qs, qds, us, q0, qd0):
+        """Batch-last fast path: free root → torso pos = q[0:3]."""
+        return (1.5
+                - jnp.clip(jnp.abs(qs[:, 2] - 1.3), -2.0, 1.0)
+                - 0.1 * jnp.abs(qs[:, 0])
+                - 0.1 * jnp.abs(qs[:, 1]))

@@ -104,3 +104,14 @@ class HumanoidTrack(PhysicsEnv):
         xs = pipeline_states.x.pos[:, self.track_body_idx].transpose(1, 0, 2)
         err = jnp.linalg.norm(xs - self.xref, axis=-1)
         return -((jnp.clip(err, 0.0, 0.5) / 0.5) ** 2).mean()
+
+
+    def reward_qs_b(self, qs, qds, us, q0, qd0):
+        """Batch-last fast path: the reference computes step-t reward from
+        the PRE-step state (free root: pos = q[0:3], origin vel = qd[0:3])."""
+        qp = jnp.concatenate([q0[None], qs[:-1]], axis=0)
+        qdp = jnp.concatenate([qd0[None], qds[:-1]], axis=0)
+        return 1.0 + (
+            -jnp.abs(qdp[:, 0] - 1.6)
+            - jnp.abs(qp[:, 2] - 1.3)
+            - 0.1 * jnp.abs(qp[:, 1]))

@@ -59,3 +59,12 @@ class PushT(PhysicsEnv):
     @property
     def observation_size(self) -> int:
         return 16
+
+
+    def reward_qs_b(self, qs, qds, us, q0, qd0):
+        """Batch-last fast path: reward is a pure q function."""
+        d_goal = jnp.sqrt(((qs[:, 5:7] - qs[:, 2:4]) ** 2).sum(1))
+        d_theta = jnp.abs(qs[:, 7] - qs[:, 4]) / jnp.pi
+        d_ps = jnp.maximum(
+            jnp.sqrt(((qs[:, 0:2] - qs[:, 2:4]) ** 2).sum(1)) - 0.2, 0.0)
+        return 1.0 - (d_goal + d_theta + d_ps)

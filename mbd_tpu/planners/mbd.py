@@ -117,7 +117,8 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
             Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
 
         if engine == "fused":
-            rewss, qs = rollout_rewards(env, state_init, Y0s)
+            rewss, qs = rollout_rewards(env, state_init, Y0s,
+                                        need_states=cfg.enable_demo or None)
         else:
             rewss, qs = batch_rollout(state_init, Y0s)
         rews = rewss.mean(axis=-1)
@@ -154,7 +155,8 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
 def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
          mesh: Optional[Mesh] = None, jit: bool = True,
          chunk_size: int = 0, progress_fn=None,
-         engine: Optional[str] = None) -> MBDResult:
+         engine: Optional[str] = None,
+         checkpoint_path: Optional[str] = None) -> MBDResult:
     """Run the full reverse diffusion.
 
     RNG layout mirrors the reference driver (mbd_planner.py:79,137-149):
@@ -166,6 +168,10 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
     watchdogs, and chunking also enables ``progress_fn(step, mean_reward)``
     reporting. ``chunk_size = 0`` runs the whole denoise as ONE device
     program (the TPU-idiomatic default).
+
+    ``checkpoint_path`` (requires chunking): persists the denoise state
+    after every chunk and resumes from it if the file already exists —
+    mid-run recovery the reference lacks (it only saves final artifacts).
     """
     rng, rng_reset = jax.random.split(rng)
     if state_init is None:
@@ -195,10 +201,30 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
         n = steps.shape[0]
         pad = (-n) % chunk_size
         steps_p = jnp.concatenate([steps, jnp.ones(pad, steps.dtype)])
-        for c in range(0, n + pad, chunk_size):
+        start = 0
+        if checkpoint_path is not None:
+            import os
+
+            import numpy as _np
+            if not checkpoint_path.endswith(".npz"):
+                checkpoint_path += ".npz"
+            if os.path.exists(checkpoint_path):
+                ck = _np.load(checkpoint_path)
+                start = int(ck["next_chunk"])
+                carry = (jnp.asarray(ck["rng"]), jnp.asarray(ck["Ybar"]))
+                Ybars_l = [jnp.asarray(ck["Ybars"])] if start else []
+                rews_l = [jnp.asarray(ck["rews"])] if start else []
+        for c in range(start, n + pad, chunk_size):
             carry, (Yb, rw) = reverse_chunk(carry, steps_p[c:c + chunk_size])
             Ybars_l.append(Yb)
             rews_l.append(rw)
+            if checkpoint_path is not None:
+                import numpy as _np
+                _np.savez(
+                    checkpoint_path, next_chunk=c + chunk_size,
+                    rng=_np.asarray(carry[0]), Ybar=_np.asarray(carry[1]),
+                    Ybars=_np.concatenate([_np.asarray(y) for y in Ybars_l]),
+                    rews=_np.concatenate([_np.asarray(r) for r in rews_l]))
             if progress_fn is not None:
                 progress_fn(min(c + chunk_size, n), float(rw[-1]))
         Ybars = jnp.concatenate(Ybars_l)[:n]

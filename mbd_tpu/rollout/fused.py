@@ -57,16 +57,29 @@ def states_from_qs(sys, qs: jnp.ndarray, qds: jnp.ndarray) -> PipelineState:
     )
 
 
-def rollout_rewards(env, state0, Y0s: jnp.ndarray
+def rollout_rewards(env, state0, Y0s: jnp.ndarray, need_states: bool = None
                     ) -> Tuple[jnp.ndarray, PipelineState]:
     """Fused equivalent of vmap(rollout_us): Y0s [N, H, nu] →
-    (rews [N, H], stacked PipelineState with [H, N] leading axes)."""
+    (rews [N, H], stacked PipelineState with [H, N] leading axes).
+
+    When the env provides ``reward_qs_b`` (reward as a pure function of the
+    batch-last q/qd/ctrl arrays — true for every physics env in the suite)
+    and the caller doesn't need link states, the post-rollout FK pass is
+    skipped entirely. The demo branch passes ``need_states=True``.
+    """
     sys = env.sys
     N, H, nu = Y0s.shape
     U = jnp.transpose(Y0s, (1, 2, 0))                     # [H, nu, N]
     q0 = jnp.broadcast_to(state0.pipeline_state.q[:, None], (sys.nq, N))
     qd0 = jnp.broadcast_to(state0.pipeline_state.qd[:, None], (sys.nv, N))
     qs, qds = rollout_qs(sys, env.n_frames, q0, qd0, U)
-    ps = states_from_qs(sys, qs, qds)
-    rews = env.traj_reward(ps, Y0s, state0.pipeline_state)   # [H, N]
+
+    fast = hasattr(env, "reward_qs_b")
+    if need_states is None:
+        need_states = not fast
+    ps = states_from_qs(sys, qs, qds) if need_states else None
+    if fast:
+        rews = env.reward_qs_b(qs, qds, U, q0, qd0)          # [H, N]
+    else:
+        rews = env.traj_reward(ps, Y0s, state0.pipeline_state)
     return jnp.transpose(rews, (1, 0)), ps

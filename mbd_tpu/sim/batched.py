@@ -35,6 +35,12 @@ from .system import (PAIR_CAPSULE_CAPSULE, PAIR_PLANE_CAPSULE,
 Arr = jnp.ndarray   # [B] or [k, B]
 
 
+def constv(vals, B: int, dtype) -> Arr:
+    """[k, B] constant built from python scalars (no captured device
+    constants — required for use inside Pallas kernels)."""
+    return jnp.stack([jnp.full((B,), float(x), dtype) for x in vals])
+
+
 # ---------------------------------------------------------------------------
 # component-first (cf) quaternion/vec helpers: arrays are [3, B] / [4, B]
 # ---------------------------------------------------------------------------
@@ -122,13 +128,12 @@ def fk_b(sys: System, q: Arr) -> KinB:
     jnt_pos = np_(sys.jnt_pos)
 
     def const3(v):
-        return jnp.broadcast_to(jnp.asarray(v, dtype)[:, None], (3, B))
+        return constv(v, B, dtype)
 
     for b in range(1, sys.nbody):
         p = sys.body_parentid[b]
         pos = xpos[p] + qrot(xquat[p], const3(body_pos[b]))
-        quat = qmul(xquat[p], jnp.broadcast_to(
-            jnp.asarray(body_quat[b], dtype)[:, None], (4, B)))
+        quat = qmul(xquat[p], constv(body_quat[b], B, dtype))
 
         for j in _body_joints(sys, b):
             jt = sys.jnt_type[j]
@@ -140,7 +145,8 @@ def fk_b(sys: System, q: Arr) -> KinB:
                 c0, c1, c2 = quat_to_cols(quat)
                 zB = jnp.zeros((3, B), dtype)
                 for k in range(3):
-                    e = zero3.at[k].set(1.0)
+                    e = constv([1.0 if i == k else 0.0 for i in range(3)],
+                               B, dtype)
                     S[dadr + k] = jnp.concatenate([zB, e])
                 for k, w in enumerate((c0, c1, c2)):
                     S[dadr + 3 + k] = jnp.concatenate([w, cross(pos, w)])
@@ -221,8 +227,7 @@ def spatial_inertia_b(sys: System, kin: KinB, b: int) -> List[List[Arr]]:
     iquat = np.asarray(sys.body_iquat)[b]
     diag = np.asarray(sys.body_inertia)[b]
 
-    const = lambda v: jnp.broadcast_to(  # noqa: E731
-        jnp.asarray(v, dtype)[:, None], (len(v), B))
+    const = lambda v: constv(v, B, dtype)  # noqa: E731
     com = kin.xpos[b] + qrot(kin.xquat[b], const(ipos))
     iq = qmul(kin.xquat[b], const(iquat))
     c0, c1, c2 = quat_to_cols(iq)
@@ -327,7 +332,7 @@ def smooth_b(sys: System, kin: KinB, qd: Arr):
 
     g = np.asarray(sys.gravity)
     g_sp = np.concatenate([np.zeros(3), -g])
-    a_b = [jnp.broadcast_to(jnp.asarray(g_sp, dtype)[:, None], (6, B))]
+    a_b = [constv(g_sp, B, dtype)]
     for b in range(1, sys.nbody):
         a = a_b[sys.body_parentid[b]]
         for i in own_dofs[b]:
@@ -463,8 +468,7 @@ def _geom_world(sys: System, kin: KinB, g: int):
     b = sys.geom_bodyid[g]
     gp = np.asarray(sys.geom_pos)[g]
     gq = np.asarray(sys.geom_quat)[g]
-    cp = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype)[:, None],
-                                    (len(v), B))
+    cp = lambda v: constv(v, B, dtype)  # noqa: E731
     if b == 0:
         return cp(gp), cp(gq)
     pos = kin.xpos[b] + qrot(kin.xquat[b], cp(gp))
@@ -530,7 +534,7 @@ def collide_b(sys: System, kin: KinB) -> List[ContactB]:
             c0, c1, c2 = quat_to_cols(qb)
             d = pa - pb
             pl = jnp.stack([dot3(c0, d), dot3(c1, d), dot3(c2, d)])
-            bs_c = jnp.asarray(bs, dtype)[:, None]
+            bs_c = constv(bs, 1, dtype)
             clamped = jnp.clip(pl, -bs_c, bs_c)
             delta = pl - clamped
             dist_out = jnp.sqrt(dot3(delta, delta))
@@ -560,9 +564,9 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
                    qfrc: List[Arr]) -> List[Arr]:
     """Accumulate penalty contact forces into qfrc (list of [B] per dof)."""
     tc = topo(sys)
-    k = sys.contact_stiffness
-    bdamp = sys.contact_damping
-    eps = sys.friction_vel_tol
+    k = float(np.asarray(sys.contact_stiffness))
+    bdamp = float(np.asarray(sys.contact_damping))
+    eps = float(np.asarray(sys.friction_vel_tol))
 
     for con in cons:
         dofs_b = tc.ancdof_body[con.body_b]
