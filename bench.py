@@ -74,7 +74,7 @@ def main():
         result = _bench(
             "humanoidrun",
             dict(Nsample=1024, Hsample=50, Ndiffuse=300, temp_sample=0.1),
-            engine="fused", target_s=10.0, chunk=25)
+            engine="pallas", target_s=10.0, chunk=50)
     except Exception:
         result = _bench(
             "car2d",

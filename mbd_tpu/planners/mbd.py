@@ -94,12 +94,18 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
     ``engine``: "vmap" uses per-sample env.step under vmap (reference
     semantics, works for every env); "fused" uses the batch-last engine
     (sim/batched.py via rollout/fused.py) where the sample axis lives on
-    TPU lanes — the fast path for physics envs.
+    TPU lanes; "pallas" runs the whole rollout VMEM-resident
+    (ops/rollout_pallas.py — fastest single-chip path; demo conditioning
+    falls back to "fused" which materializes link states).
     """
     nu = env.action_size
-    if engine == "fused":
+    if engine == "pallas" and cfg.enable_demo:
+        engine = "fused"
+    if engine in ("fused", "pallas"):
         from ..rollout.fused import rollout_rewards
         batch_rollout = None
+        if engine == "pallas":
+            from ..ops.rollout_pallas import rollout_rewards_pallas
     else:
         batch_rollout = jax.vmap(
             functools.partial(rollout_us, env.step), in_axes=(None, 0))
@@ -116,12 +122,20 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
         if shard is not None:
             Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
 
-        if engine == "fused":
+        if engine == "pallas":
+            rewss, qs = rollout_rewards_pallas(env, state_init, Y0s), None
+        elif engine == "fused":
             rewss, qs = rollout_rewards(env, state_init, Y0s,
                                         need_states=cfg.enable_demo or None)
         else:
             rewss, qs = batch_rollout(state_init, Y0s)
         rews = rewss.mean(axis=-1)
+        # diverged-rollout guard: a single NaN sample would poison the
+        # softmax; demote non-finite rollouts to the worst finite reward
+        finite = jnp.isfinite(rews)
+        worst = jnp.min(jnp.where(finite, rews, jnp.inf))
+        worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
+        rews = jnp.where(finite, rews, worst)
         rew_mean = rews.mean()
         rew_std = rews.std()
         rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)

@@ -115,6 +115,11 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
             Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
 
         rews = batch_eval(state_init, Y0s).mean(axis=-1)
+        # diverged-rollout guard (cf. planners/mbd.py)
+        finite = jnp.isfinite(rews)
+        worst = jnp.min(jnp.where(finite, rews, jnp.inf))
+        worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
+        rews = jnp.where(finite, rews, worst)
         # std guard: the reference MBD planner guards this (mbd_planner.py:111)
         # but its path_integral does not and NaNs on a flat reward landscape;
         # we guard both.

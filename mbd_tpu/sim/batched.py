@@ -422,6 +422,34 @@ def ldl_factor(M_low: Dict[Tuple[int, int], Arr], sys: System,
     return LDL(L, Dg, parent, nv)
 
 
+def ldl_diag_inv(f: LDL, i: int) -> Arr:
+    """(M⁻¹)_ii via the factorization: M⁻¹ = L⁻¹ D⁻¹ L⁻ᵀ, so
+    (M⁻¹)_ii = Σ_k z_k²/D_k with z = L⁻ᵀ e_i, which lives only on the
+    ancestor path of i — O(depth²) [B]-wide FMAs."""
+    path = []
+    j = i
+    while j >= 0:
+        path.append(j)
+        j = f.dof_parent[j]
+    # backward substitution along the path (Lᵀ z = e_i); z[i] ≡ 1
+    z: Dict[int, Arr] = {}
+    for a in path:                  # leaf→root order
+        if a != i and a not in z:
+            continue
+        va = 1.0 if a == i else z[a]
+        j = f.dof_parent[a]
+        while j >= 0:
+            Laj = f.L.get((a, j))
+            if Laj is not None:
+                t = Laj if isinstance(va, float) else Laj * va
+                z[j] = -t if j not in z else z[j] - t
+            j = f.dof_parent[j]
+    out = 1.0 / f.Dg[i]
+    for a, va in z.items():
+        out = out + va * va / f.Dg[a]
+    return out
+
+
 def ldl_solve(f: LDL, rhs: List[Arr]) -> List[Arr]:
     """Solve (LᵀDL) x = rhs along the dof tree. rhs entries may be None
     (structural zeros)."""
@@ -561,7 +589,7 @@ def collide_b(sys: System, kin: KinB) -> List[ContactB]:
 
 def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
                    cons: List[ContactB], fac: LDL,
-                   qfrc: List[Arr]) -> List[Arr]:
+                   qfrc: List[Arr], h: float) -> List[Arr]:
     """Accumulate penalty contact forces into qfrc (list of [B] per dof)."""
     tc = topo(sys)
     k = float(np.asarray(sys.contact_stiffness))
@@ -602,7 +630,12 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
         m_eff = 1.0 / (jmj + 1e-8)
 
         active = con.depth > 0.0
-        fn = m_eff * jnp.maximum(k * con.depth - bdamp * vn, 0.0) * active
+        # impulse cap: one substep may at most cancel the incoming normal
+        # velocity (plus the k·φ pushout) — prevents explicit-Euler energy
+        # injection on fast impacts
+        a_ref = jnp.maximum(k * con.depth - bdamp * vn, 0.0)
+        a_cap = jnp.maximum(-vn, 0.0) / h + k * jnp.maximum(con.depth, 0.0)
+        fn = m_eff * jnp.minimum(a_ref, a_cap) * active
         t_dir = vt / jnp.sqrt(dot3(vt, vt) + eps * eps)
         F = fn * n - con.mu * fn * t_dir
         pxF = cross(p, F)
@@ -629,11 +662,34 @@ def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr):
     kin = fk_b(sys, q)
     M_low, bias, v_b = smooth_b(sys, kin, qd)
 
-    fac = ldl_factor(
-        M_low, sys,
-        extra_diag=[jnp.full(B, h * float(damping[i]), dtype)
-                    if damping[i] != 0.0 else None
-                    for i in range(sys.nv)])
+    # joint-limit damping enters IMPLICITLY (via the integrator matrix):
+    # explicit limit damping with an approximate effective mass violates
+    # h·b_eff < 2 and blows up; implicit damping is unconditionally stable.
+    stiff = np.asarray(sys.jnt_stiffness)
+    jrange = np.asarray(sys.jnt_range)
+    meff_rest = np.asarray(sys.dof_limit_meff)
+    k_lim = float(np.asarray(sys.limit_stiffness))
+    b_lim = float(np.asarray(sys.limit_damping))
+    lim_below: Dict[int, Arr] = {}
+    lim_above: Dict[int, Arr] = {}
+    extra_diag: List = [None] * sys.nv
+    for i in range(sys.nv):
+        if damping[i] != 0.0:
+            extra_diag[i] = jnp.full(B, h * float(damping[i]), dtype)
+    for j in range(sys.njnt):
+        if sys.jnt_type[j] not in (SLIDE, HINGE) or not sys.jnt_limited[j]:
+            continue
+        qadr, dadr = sys.jnt_qposadr[j], sys.jnt_dofadr[j]
+        lo, hi = float(jrange[j, 0]), float(jrange[j, 1])
+        below = jnp.maximum(lo - q[qadr], 0.0)
+        above = jnp.maximum(q[qadr] - hi, 0.0)
+        lim_below[dadr], lim_above[dadr] = below, above
+        active = ((below > 0) | (above > 0)).astype(dtype)
+        d_lim = h * b_lim * float(meff_rest[dadr]) * active
+        extra_diag[dadr] = d_lim if extra_diag[dadr] is None \
+            else extra_diag[dadr] + d_lim
+
+    fac = ldl_factor(M_low, sys, extra_diag=extra_diag)
 
     # actuators: gear · clip(u)
     qfrc: List[Arr] = [jnp.zeros(B, dtype) for _ in range(sys.nv)]
@@ -644,12 +700,11 @@ def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr):
         u = jnp.clip(ctrl[a], float(crange[a, 0]), float(crange[a, 1]))
         qfrc[dadr] = qfrc[dadr] + float(gear[a]) * u
 
-    # springs + joint limits (diagonal effective mass, cf. dynamics.py)
-    stiff = np.asarray(sys.jnt_stiffness)
+    # joint springs + limit SPRING (limit damping is implicit — see above).
+    # Effective inertia for the spring: rest-pose exact 1/(M(q0)⁻¹)_ii,
+    # precomputed on the host; the spring alone satisfies h·√(k·ratio) ≪ 2
+    # even with a few× pose error, and the impulse cap bounds extremes.
     qspring = np.asarray(sys.qpos_spring)
-    jrange = np.asarray(sys.jnt_range)
-    k_lim = float(np.asarray(sys.limit_stiffness))
-    b_lim = float(np.asarray(sys.limit_damping))
     for j in range(sys.njnt):
         if sys.jnt_type[j] not in (SLIDE, HINGE):
             continue
@@ -658,18 +713,18 @@ def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr):
             qfrc[dadr] = qfrc[dadr] - float(stiff[j]) * (
                 q[qadr] - float(qspring[qadr]))
         if sys.jnt_limited[j]:
-            lo, hi = float(jrange[j, 0]), float(jrange[j, 1])
-            below = jnp.maximum(lo - q[qadr], 0.0)
-            above = jnp.maximum(q[qadr] - hi, 0.0)
-            active = (below > 0) | (above > 0)
-            m_eff = M_low[(dadr, dadr)] + h * float(damping[dadr])
-            a_ref = k_lim * (below - above) \
-                - jnp.where(active, b_lim * qd[dadr], 0.0)
+            below, above = lim_below[dadr], lim_above[dadr]
+            m_eff = float(meff_rest[dadr])
+            a_ref = k_lim * (below - above)
+            # impulse cap: see sim/contact.py
+            cap_pos = jnp.maximum(-qd[dadr], 0.0) / h + k_lim * below
+            cap_neg = -(jnp.maximum(qd[dadr], 0.0) / h + k_lim * above)
+            a_ref = jnp.clip(a_ref, cap_neg, cap_pos)
             qfrc[dadr] = qfrc[dadr] + m_eff * a_ref
 
     if sys.contact_pairs:
         cons = collide_b(sys, kin)
-        qfrc = contact_qfrc_b(sys, kin, v_b, cons, fac, qfrc)
+        qfrc = contact_qfrc_b(sys, kin, v_b, cons, fac, qfrc, h)
 
     rhs = [qfrc[i] - bias[i] - float(damping[i]) * qd[i]
            for i in range(sys.nv)]

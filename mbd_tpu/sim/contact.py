@@ -61,7 +61,13 @@ def contact_force(sys: System, kin: Kin, v_b: jnp.ndarray, con: Contacts,
     m_eff = 1.0 / (jnp.einsum("ci,ij,cj->c", Jn, Minv, Jn) + 1e-8)
 
     active = phi > 0.0
-    fn = m_eff * jnp.maximum(k * phi - b * vn, 0.0) * active
+    # impulse cap: one substep may at most cancel the incoming normal
+    # velocity (plus the k·φ pushout) — prevents explicit-Euler energy
+    # injection on fast impacts
+    h = sys.dt
+    a_ref = jnp.maximum(k * phi - b * vn, 0.0)
+    a_cap = jnp.maximum(-vn, 0.0) / h + k * jnp.maximum(phi, 0.0)
+    fn = m_eff * jnp.minimum(a_ref, a_cap) * active
 
     t_dir = vt / jnp.sqrt(
         jnp.sum(vt * vt, axis=-1, keepdims=True) + eps * eps)

@@ -115,12 +115,14 @@ def passive_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros(sys.nv, q.dtype).at[dadr].set(spring)
 
 
-def limit_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
-                M_diag: jnp.ndarray) -> jnp.ndarray:
+def limit_force(sys: System, q: jnp.ndarray,
+                qd: jnp.ndarray) -> jnp.ndarray:
     """Joint-limit penalty torque: effective-mass-scaled acceleration spring
-    (same solver model as contacts — see sim/contact.py). The effective mass
-    uses the M diagonal (MuJoCo-style diagonal approximation), which keeps
-    the batch-last hot path free of extra triangular solves."""
+    (same solver model as contacts — see sim/contact.py). The effective
+    inertia is the precomputed rest-pose 1/(M(q0)⁻¹)_ii
+    (System.dof_limit_meff): runtime-free and close enough; the impulse cap
+    bounds pose-dependence error. (The M_ii diagonal over-estimates coupled
+    dofs badly enough to destabilize the penalty — measured.)"""
     qadr_all, dadr_all, jids_all = _onedof_maps(sys)
     keep = [i for i, j in enumerate(jids_all) if sys.jnt_limited[j]]
     if not keep:
@@ -132,11 +134,36 @@ def limit_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
     qj, qdj = q[qadr], qd[dadr]
     below = jnp.maximum(lo - qj, 0.0)
     above = jnp.maximum(qj - hi, 0.0)
-    active = (below > 0) | (above > 0)
-    m_eff = M_diag[dadr]
-    a_ref = sys.limit_stiffness * (below - above) \
-        - jnp.where(active, sys.limit_damping * qdj, 0.0)
+    m_eff = sys.dof_limit_meff[dadr]
+    # spring only — limit DAMPING is handled implicitly in the integrator
+    # matrix (see limit_implicit_damping / pipeline._substep): explicit
+    # velocity damping with an approximate m_eff violates h·b_eff < 2.
+    a_ref = sys.limit_stiffness * (below - above)
+    # impulse cap (see sim/contact.py): at most stop the violating velocity
+    # and push out at the k·violation rate within one substep
+    h = sys.dt
+    cap_pos = jnp.maximum(-qdj, 0.0) / h + sys.limit_stiffness * below
+    cap_neg = -(jnp.maximum(qdj, 0.0) / h + sys.limit_stiffness * above)
+    a_ref = jnp.clip(a_ref, cap_neg, cap_pos)
     return jnp.zeros(sys.nv, q.dtype).at[dadr].set(m_eff * a_ref)
+
+
+def limit_implicit_damping(sys: System, q: jnp.ndarray) -> jnp.ndarray:
+    """(nv,) extra diagonal damping when a joint is beyond its limit,
+    to be added (×h) to the implicit integrator matrix."""
+    qadr_all, dadr_all, jids_all = _onedof_maps(sys)
+    keep = [i for i, j in enumerate(jids_all) if sys.jnt_limited[j]]
+    out = jnp.zeros(sys.nv, q.dtype)
+    if not keep:
+        return out
+    keep = np.asarray(keep, np.int32)
+    qadr, dadr, jids = qadr_all[keep], dadr_all[keep], jids_all[keep]
+    lo = sys.jnt_range[jids, 0]
+    hi = sys.jnt_range[jids, 1]
+    qj = q[qadr]
+    active = ((qj < lo) | (qj > hi)).astype(q.dtype)
+    d_lim = sys.limit_damping * sys.dof_limit_meff[dadr] * active
+    return out.at[dadr].set(d_lim)
 
 
 def actuator_force(sys: System, ctrl: jnp.ndarray) -> jnp.ndarray:

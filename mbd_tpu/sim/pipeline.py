@@ -115,13 +115,14 @@ def _substep(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
     kin = kinematics.fk(sys, q)
     M, qfrc_bias, v_b, _ = dynamics.smooth_terms(sys, kin, qd)
 
-    M_imp = M + h * jnp.diag(sys.dof_damping)
+    M_imp = M + h * jnp.diag(sys.dof_damping
+                             + dynamics.limit_implicit_damping(sys, q))
     L = jax.scipy.linalg.cho_factor(M_imp, lower=True)
     Minv = jax.scipy.linalg.cho_solve(L, jnp.eye(sys.nv, dtype=q.dtype))
 
     tau = dynamics.actuator_force(sys, ctrl)
     tau = tau + dynamics.passive_force(sys, q, qd)
-    tau = tau + dynamics.limit_force(sys, q, qd, jnp.diag(M_imp))
+    tau = tau + dynamics.limit_force(sys, q, qd)
 
     if sys.contact_pairs:
         gpos, gquat = kinematics.geom_poses(sys, kin)

@@ -82,6 +82,9 @@ class System:
     qpos_spring: jnp.ndarray         # (nq,) spring reference pose
     dof_armature: jnp.ndarray        # (nv,)
     dof_damping: jnp.ndarray         # (nv,)
+    dof_limit_meff: jnp.ndarray      # (nv,) rest-pose 1/(M(q0)⁻¹)_ii — the
+    # effective inertia used by the joint-limit penalty (precomputed on the
+    # host; exact at q0, bounded error elsewhere, free at runtime)
     geom_pos: jnp.ndarray            # (ngeom, 3) offset in body frame
     geom_quat: jnp.ndarray           # (ngeom, 4)
     geom_size: jnp.ndarray           # (ngeom, 3)
@@ -262,6 +265,15 @@ def from_mjmodel(m: Any, dtype=jnp.float32) -> System:
         mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_BODY, b) or f"body{b}"
         for b in range(1, nbody))
 
+    # rest-pose effective inertia per dof (for the limit penalty)
+    d0 = mujoco.MjData(m)
+    d0.qpos[:] = m.qpos0
+    mujoco.mj_forward(m, d0)
+    M0 = np.zeros((nv, nv))
+    mujoco.mj_fullM(m, d0, M0)
+    Minv0_diag = np.diag(np.linalg.inv(M0))
+    dof_limit_meff = 1.0 / np.maximum(Minv0_diag, 1e-12)
+
     a = lambda x: jnp.asarray(np.array(x), dtype=dtype)  # noqa: E731
     return System(
         nq=int(m.nq), nv=int(nv), nu=int(m.nu), nbody=int(nbody),
@@ -288,6 +300,7 @@ def from_mjmodel(m: Any, dtype=jnp.float32) -> System:
         jnt_stiffness=a(m.jnt_stiffness),
         qpos_spring=a(m.qpos_spring),
         dof_armature=a(m.dof_armature), dof_damping=a(m.dof_damping),
+        dof_limit_meff=a(dof_limit_meff),
         geom_pos=a(m.geom_pos), geom_quat=a(m.geom_quat),
         geom_size=a(m.geom_size), geom_friction=a(m.geom_friction),
         geom_rgba=a(m.geom_rgba),
