@@ -51,6 +51,7 @@ class Halfcheetah(PhysicsEnv):
 
     def reward_qs_b(self, qs, qds, us, q0, qd0):
         """Batch-last fast path: torso x = q[0]."""
-        prev = jnp.concatenate([q0[None, 0], qs[:-1, 0]], axis=0)
+        prev = q0[None, 0] if qs.shape[0] == 1 else \
+            jnp.concatenate([q0[None, 0], qs[:-1, 0]], axis=0)
         vel = (qs[:, 0] - prev) / self.dt
         return vel - 0.1 * (us ** 2).sum(1)

@@ -13,7 +13,6 @@ eval_xref_logpd = −mean(clip(‖x − xref‖, 0, 0.5)/0.5)² over bodies × t
 
 from __future__ import annotations
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -109,8 +108,11 @@ class HumanoidTrack(PhysicsEnv):
     def reward_qs_b(self, qs, qds, us, q0, qd0):
         """Batch-last fast path: the reference computes step-t reward from
         the PRE-step state (free root: pos = q[0:3], origin vel = qd[0:3])."""
-        qp = jnp.concatenate([q0[None], qs[:-1]], axis=0)
-        qdp = jnp.concatenate([qd0[None], qds[:-1]], axis=0)
+        if qs.shape[0] == 1:
+            qp, qdp = q0[None], qd0[None]
+        else:
+            qp = jnp.concatenate([q0[None], qs[:-1]], axis=0)
+            qdp = jnp.concatenate([qd0[None], qds[:-1]], axis=0)
         return 1.0 + (
             -jnp.abs(qdp[:, 0] - 1.6)
             - jnp.abs(qp[:, 2] - 1.3)

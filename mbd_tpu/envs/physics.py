@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..sim import pipeline
 from ..sim.system import System, load_mjcf
-from .base import Env, State
+from .base import Env
 
 ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets")
 

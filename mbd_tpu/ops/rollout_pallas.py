@@ -15,12 +15,9 @@ comfortably inside the ~16 MB VMEM budget.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,21 +41,21 @@ def make_rollout_kernel(sys: System, env, n_frames: int, H: int,
     """
     nq, nv, nu = sys.nq, sys.nv, sys.nu
 
-    def kernel(q0_ref, qd0_ref, U_ref, rews_ref):
+    def kernel(q0_ref, qd0_ref, U_ref, rews_ref, bad_ref):
         def env_step(t, carry):
-            q_prev, qd_prev = carry
+            q_prev, qd_prev, bad = carry
             u = U_ref[t]                       # [nu, B]
-
-            def sub(_, c):
-                return BT.substep_b(sys, c[0], c[1], u)
-
-            q, qd = jax.lax.fori_loop(0, n_frames, sub, (q_prev, qd_prev))
+            q, qd, bad = BT.env_step_checked_b(sys, q_prev, qd_prev, u,
+                                               n_frames, bad)
             r = env.reward_qs_b(q[None], qd[None], u[None], q_prev,
                                 qd_prev)[0]    # [B]
             rews_ref[t] = r
-            return (q, qd)
+            return (q, qd, bad)
 
-        jax.lax.fori_loop(0, H, env_step, (q0_ref[:], qd0_ref[:]))
+        bad0 = jnp.zeros(q0_ref.shape[-1], q0_ref.dtype)
+        _, _, bad = jax.lax.fori_loop(
+            0, H, env_step, (q0_ref[:], qd0_ref[:], bad0))
+        bad_ref[0] = bad
 
     def rollout_fn(q0: jnp.ndarray, qd0: jnp.ndarray, U: jnp.ndarray):
         N = U.shape[-1]
@@ -68,7 +65,7 @@ def make_rollout_kernel(sys: System, env, n_frames: int, H: int,
         q0b = jnp.broadcast_to(q0[:, None], (nq, n_pad))
         qd0b = jnp.broadcast_to(qd0[:, None], (nv, n_pad))
         grid = (n_pad // b_tile,)
-        rews = pl.pallas_call(
+        rews, bad = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -79,24 +76,31 @@ def make_rollout_kernel(sys: System, env, n_frames: int, H: int,
                 pl.BlockSpec((H, nu, b_tile), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((H, b_tile), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((H, n_pad), U.dtype),
+            out_specs=(
+                pl.BlockSpec((H, b_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((H, n_pad), U.dtype),
+                jax.ShapeDtypeStruct((1, n_pad), U.dtype),
+            ),
             interpret=interpret,
         )(q0b, qd0b, U)
-        return rews[:, :N]
+        return rews[:, :N], bad[0, :N]
 
     return rollout_fn
 
 
 def rollout_rewards_pallas(env, state0, Y0s: jnp.ndarray,
                            b_tile: int = DEFAULT_B_TILE,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for rollout/fused.rollout_rewards (rewards only):
-    Y0s [N, H, nu] → rews [N, H]."""
+                           interpret: bool = False):
+    """Drop-in for rollout/fused.rollout_rewards (no link states):
+    Y0s [N, H, nu] → (rews [N, H], diverged [N])."""
     N, H, nu = Y0s.shape
     fn = make_rollout_kernel(env.sys, env, env.n_frames, H, b_tile,
                              interpret)
     U = jnp.transpose(Y0s, (1, 2, 0))
-    rews = fn(state0.pipeline_state.q, state0.pipeline_state.qd, U)
-    return jnp.transpose(rews, (1, 0))
+    rews, bad = fn(state0.pipeline_state.q, state0.pipeline_state.qd, U)
+    return jnp.transpose(rews, (1, 0)), bad

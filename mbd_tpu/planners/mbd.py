@@ -27,8 +27,8 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from dataclasses import dataclass
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -122,20 +122,26 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
         if shard is not None:
             Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
 
+        diverged = None
         if engine == "pallas":
-            rewss, qs = rollout_rewards_pallas(env, state_init, Y0s), None
+            (rewss, diverged), qs = rollout_rewards_pallas(
+                env, state_init, Y0s), None
         elif engine == "fused":
-            rewss, qs = rollout_rewards(env, state_init, Y0s,
-                                        need_states=cfg.enable_demo or None)
+            rewss, qs, diverged = rollout_rewards(
+                env, state_init, Y0s, need_states=cfg.enable_demo or None)
         else:
             rewss, qs = batch_rollout(state_init, Y0s)
         rews = rewss.mean(axis=-1)
-        # diverged-rollout guard: a single NaN sample would poison the
-        # softmax; demote non-finite rollouts to the worst finite reward
-        finite = jnp.isfinite(rews)
-        worst = jnp.min(jnp.where(finite, rews, jnp.inf))
+        # diverged-rollout guard: a numerically diverged sample can report
+        # an absurdly high reward (e.g. torso_x → 1e12) and hijack the
+        # softmax barycenter; demote flagged/non-finite rollouts to the
+        # worst valid reward
+        valid = jnp.isfinite(rews)
+        if diverged is not None:
+            valid = valid & (diverged == 0)
+        worst = jnp.min(jnp.where(valid, rews, jnp.inf))
         worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
-        rews = jnp.where(finite, rews, worst)
+        rews = jnp.where(valid, rews, worst)
         rew_mean = rews.mean()
         rew_std = rews.std()
         rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)
@@ -244,6 +250,14 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
         Ybars = jnp.concatenate(Ybars_l)[:n]
         rews_trace = jnp.concatenate(rews_l)[:n]
 
-    final_rews = rollout_us(env.step, state_init, Ybars[-1])[0]
+    # evaluate the final plan with the SAME engine used for planning (the
+    # vmap path on TPU shows different f32 contraction order and can
+    # diverge on trajectories the batch engines integrate fine)
+    if engine in ("fused", "pallas"):
+        from ..rollout.fused import rollout_rewards
+        final_rews = rollout_rewards(env, state_init, Ybars[-1][None],
+                                     need_states=False)[0][0]
+    else:
+        final_rews = rollout_us(env.step, state_init, Ybars[-1])[0]
     return MBDResult(Ybars=Ybars, rews_trace=rews_trace,
                      final_reward=final_rews.mean())

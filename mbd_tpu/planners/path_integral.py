@@ -98,12 +98,23 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
         state_init = env.reset(rng_reset)
     rng_exp, rng = jax.random.split(rng)
 
-    if engine == "fused":
-        from ..rollout.fused import rollout_rewards
-        batch_eval = lambda s, y: rollout_rewards(env, s, y)[0]  # noqa: E731
+    if engine in ("fused", "pallas"):
+        if engine == "pallas":
+            from ..ops.rollout_pallas import rollout_rewards_pallas
+
+            def batch_eval(s, y):
+                rews, bad = rollout_rewards_pallas(env, s, y)
+                return rews, bad
+        else:
+            from ..rollout.fused import rollout_rewards
+
+            def batch_eval(s, y):
+                rews, _, bad = rollout_rewards(env, s, y)
+                return rews, bad
     else:
-        batch_eval = jax.vmap(functools.partial(eval_us, env.step),
-                              in_axes=(None, 0))
+        _ev = jax.vmap(functools.partial(eval_us, env.step),
+                       in_axes=(None, 0))
+        batch_eval = lambda s, y: (_ev(s, y), None)  # noqa: E731
     shard = sample_sharding(mesh) if mesh is not None else None
 
     def update_once(carry, _):
@@ -114,12 +125,15 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
         if shard is not None:
             Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
 
-        rews = batch_eval(state_init, Y0s).mean(axis=-1)
+        rews, diverged = batch_eval(state_init, Y0s)
+        rews = rews.mean(axis=-1)
         # diverged-rollout guard (cf. planners/mbd.py)
-        finite = jnp.isfinite(rews)
-        worst = jnp.min(jnp.where(finite, rews, jnp.inf))
+        valid = jnp.isfinite(rews)
+        if diverged is not None:
+            valid = valid & (diverged == 0)
+        worst = jnp.min(jnp.where(valid, rews, jnp.inf))
         worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
-        rews = jnp.where(finite, rews, worst)
+        rews = jnp.where(valid, rews, worst)
         # std guard: the reference MBD planner guards this (mbd_planner.py:111)
         # but its path_integral does not and NaNs on a flat reward landscape;
         # we guard both.
@@ -141,6 +155,9 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
         refine = jax.jit(refine)
     mu_0ts, rews_trace = refine(rng_exp)
 
-    final_rews = eval_us(env.step, state_init, mu_0ts[-1])
+    if engine in ("fused", "pallas"):
+        final_rews = batch_eval(state_init, mu_0ts[-1][None])[0][0]
+    else:
+        final_rews = eval_us(env.step, state_init, mu_0ts[-1])
     return PathIntegralResult(mu_0ts=mu_0ts, rews_trace=rews_trace,
                               final_reward=final_rews.mean())

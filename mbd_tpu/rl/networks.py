@@ -7,7 +7,7 @@ Mirrors brax.training's network shapes: PPO policy MLP (32,)*4 emitting
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

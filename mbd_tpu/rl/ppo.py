@@ -10,9 +10,8 @@ num_envs axis shards over a mesh the same way the planner's Nsample does.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,15 +24,16 @@ from ..sim.pipeline import PipelineState, X, Xd
 def rollout_qs(sys, n_frames: int, q0: jnp.ndarray, qd0: jnp.ndarray,
                U: jnp.ndarray):
     """Scan env steps. q0 [nq, B], qd0 [nv, B], U [H, nu, B] →
-    (qs [H, nq, B], qds [H, nv, B])."""
+    (qs [H, nq, B], qds [H, nv, B], diverged [B])."""
 
     def body(carry, u):
-        q, qd = carry
-        q, qd = BT.env_step_b(sys, q, qd, u, n_frames)
-        return (q, qd), (q, qd)
+        q, qd, bad = carry
+        q, qd, bad = BT.env_step_checked_b(sys, q, qd, u, n_frames, bad)
+        return (q, qd, bad), (q, qd)
 
-    (_, _), (qs, qds) = jax.lax.scan(body, (q0, qd0), U)
-    return qs, qds
+    bad0 = jnp.zeros(q0.shape[-1], q0.dtype)
+    (_, _, bad), (qs, qds) = jax.lax.scan(body, (q0, qd0, bad0), U)
+    return qs, qds, bad
 
 
 def states_from_qs(sys, qs: jnp.ndarray, qds: jnp.ndarray) -> PipelineState:
@@ -72,7 +73,7 @@ def rollout_rewards(env, state0, Y0s: jnp.ndarray, need_states: bool = None
     U = jnp.transpose(Y0s, (1, 2, 0))                     # [H, nu, N]
     q0 = jnp.broadcast_to(state0.pipeline_state.q[:, None], (sys.nq, N))
     qd0 = jnp.broadcast_to(state0.pipeline_state.qd[:, None], (sys.nv, N))
-    qs, qds = rollout_qs(sys, env.n_frames, q0, qd0, U)
+    qs, qds, diverged = rollout_qs(sys, env.n_frames, q0, qd0, U)
 
     fast = hasattr(env, "reward_qs_b")
     if need_states is None:
@@ -82,4 +83,4 @@ def rollout_rewards(env, state0, Y0s: jnp.ndarray, need_states: bool = None
         rews = env.reward_qs_b(qs, qds, U, q0, qd0)          # [H, N]
     else:
         rews = env.traj_reward(ps, Y0s, state0.pipeline_state)
-    return jnp.transpose(rews, (1, 0)), ps
+    return jnp.transpose(rews, (1, 0)), ps, diverged

@@ -8,10 +8,9 @@ and shard the sample axis over a device mesh.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 
 StepFn = Callable[[Any, jax.Array], Any]
 

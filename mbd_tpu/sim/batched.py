@@ -760,6 +760,14 @@ def integrate_pos_b(sys: System, q: Arr, qd: Arr, h: float) -> Arr:
     return jnp.stack(rows)
 
 
+# Physical sanity threshold: valid rollouts in the suite stay under
+# ~50 rad/s (MuJoCo under adversarial torques stays ≤ ~30); beyond this the
+# sample is flagged diverged — the planner demotes it BEFORE it can report
+# a spuriously high progress reward — and qd is clamped so f32 never
+# overflows into inf/nan.
+QD_DIVERGED = 200.0
+
+
 def env_step_b(sys: System, q: Arr, qd: Arr, ctrl: Arr, n_frames: int):
     """n_frames substeps (fori_loop — body traced once)."""
     def body(_, carry):
@@ -767,6 +775,23 @@ def env_step_b(sys: System, q: Arr, qd: Arr, ctrl: Arr, n_frames: int):
         return substep_b(sys, q, qd, ctrl)
 
     return jax.lax.fori_loop(0, n_frames, body, (q, qd))
+
+
+def env_step_checked_b(sys: System, q: Arr, qd: Arr, ctrl: Arr,
+                       n_frames: int, bad: Arr):
+    """env_step_b + divergence tracking: returns (q, qd, bad') where bad'
+    accumulates [B] flags for samples whose joint speeds left the physical
+    regime. Flagged samples are clamped per substep (not NaN'd) so the rest
+    of the batch keeps computing and f32 never overflows."""
+    def body(_, carry):
+        q, qd, bad = carry
+        q, qd = substep_b(sys, q, qd, ctrl)
+        speed = jnp.max(jnp.abs(qd), axis=0)
+        bad = jnp.maximum(bad, (speed > QD_DIVERGED).astype(q.dtype))
+        qd = jnp.clip(qd, -QD_DIVERGED, QD_DIVERGED)
+        return q, qd, bad
+
+    return jax.lax.fori_loop(0, n_frames, body, (q, qd, bad))
 
 
 class LinkOutB(NamedTuple):

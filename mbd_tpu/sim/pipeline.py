@@ -22,13 +22,12 @@ excluding world), ``xd`` world link velocities at the body-frame origin.
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.math import quat_from_axis_angle, quat_mul, quat_rotate_inv
+from ..core.math import quat_from_axis_angle, quat_mul
 from . import collision, contact, dynamics, kinematics
 from .system import FREE, HINGE, SLIDE, System
 

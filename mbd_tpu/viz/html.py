@@ -18,7 +18,6 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from ..core.math import quat_mul, quat_rotate
 from ..sim.system import BOX, CAPSULE, PLANE, SPHERE, System
 
 _GEOM_NAMES = {PLANE: "plane", SPHERE: "sphere", CAPSULE: "capsule",

@@ -79,7 +79,8 @@ def test_fused_rollout_matches_vmap_rollout():
     rews_v, _ = jax.jit(jax.vmap(
         functools.partial(rollout_us, env.step), in_axes=(None, 0)))(
             state0, Y0s)
-    rews_f, ps = jax.jit(lambda s, y: rollout_rewards(env, s, y))(
-        state0, Y0s)
+    rews_f, ps, diverged = jax.jit(
+        lambda s, y: rollout_rewards(env, s, y))(state0, Y0s)
+    assert float(diverged.sum()) == 0.0
     np.testing.assert_allclose(np.asarray(rews_v), np.asarray(rews_f),
                                atol=2e-3)

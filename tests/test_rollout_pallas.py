@@ -16,11 +16,13 @@ def test_pallas_rollout_matches_fused(env_name):
     Y0s = jax.random.uniform(
         jax.random.PRNGKey(1), (8, 10, env.action_size),
         minval=-1, maxval=1)
-    r_ref, _ = jax.jit(lambda s, y: rollout_rewards(env, s, y))(state0, Y0s)
-    r_pl = rollout_rewards_pallas(env, state0, Y0s, b_tile=8,
-                                  interpret=True)
+    r_ref, _, bad_ref = jax.jit(
+        lambda s, y: rollout_rewards(env, s, y))(state0, Y0s)
+    r_pl, bad_pl = rollout_rewards_pallas(env, state0, Y0s, b_tile=8,
+                                          interpret=True)
     np.testing.assert_allclose(np.asarray(r_ref), np.asarray(r_pl),
                                atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(bad_ref), np.asarray(bad_pl))
 
 
 def test_pallas_rollout_pads_ragged_batch():
@@ -28,6 +30,7 @@ def test_pallas_rollout_pads_ragged_batch():
     state0 = env.reset(jax.random.PRNGKey(0))
     Y0s = jax.random.uniform(jax.random.PRNGKey(1), (5, 6, 1),
                              minval=-1, maxval=1)
-    r = rollout_rewards_pallas(env, state0, Y0s, b_tile=8, interpret=True)
-    assert r.shape == (5, 6)
+    r, bad = rollout_rewards_pallas(env, state0, Y0s, b_tile=8,
+                                    interpret=True)
+    assert r.shape == (5, 6) and bad.shape == (5,)
     assert np.isfinite(np.asarray(r)).all()

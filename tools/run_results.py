@@ -1,11 +1,13 @@
-"""Produce the recorded planner results table (docs/RESULTS.md).
+"""Produce the recorded planner results table (docs/RESULTS.json).
 
 Runs the MBD planner with recommended per-env parameters over multiple
-seeds on the available backend (TPU preferred) and records final rewards
-and wall times — the same acceptance harness the reference uses
-(mbd/scripts/run_mbd.py:17-39), but with the numbers persisted.
+seeds — the same acceptance harness the reference uses
+(mbd/scripts/run_mbd.py:17-39), but with numbers persisted and each
+env×seed run isolated in its own subprocess via the native fault-tolerant
+launcher (native/launcher): a device fault costs one retry, not the sweep.
 
-  python tools/run_results.py --envs hopper ant --n_seeds 4
+  python tools/run_results.py --envs hopper ant --n_seeds 3
+  python tools/run_results.py --worker hopper:0          # one task (JSON)
 """
 
 import argparse
@@ -16,59 +18,88 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def worker(task: str, engine: str):
+    import jax
 
-import numpy as np  # noqa: E402
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                     ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mbd_tpu import envs as envs_mod
+    from mbd_tpu.planners import mbd
+
+    env_name, seed = task.rsplit(":", 1)
+    seed = int(seed)
+    env = envs_mod.get_env(env_name)
+    cfg = mbd.recommended_config(env_name)
+    t0 = time.time()
+    res = mbd.plan(env, cfg, jax.random.PRNGKey(seed), chunk_size=50,
+                   engine=engine or None)
+    out = {
+        "env": env_name, "seed": seed,
+        "final_reward": float(res.final_reward),
+        "wall_s": round(time.time() - t0, 1),
+        "backend": jax.default_backend(),
+        "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
+                       Ndiffuse=cfg.Ndiffuse, temp=cfg.temp_sample),
+    }
+    print(json.dumps(out), flush=True)
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--envs", nargs="+",
-                   default=["hopper", "walker2d", "halfcheetah", "ant",
-                            "humanoidrun", "humanoidstandup", "pushT",
-                            "cartpole"])
-    p.add_argument("--n_seeds", type=int, default=4)
-    p.add_argument("--engine", default=None)
+                   default=["cartpole", "hopper", "walker2d", "halfcheetah",
+                            "ant", "pushT", "humanoidstandup",
+                            "humanoidrun"])
+    p.add_argument("--n_seeds", type=int, default=3)
+    p.add_argument("--engine", default="")
+    p.add_argument("--timeout", type=int, default=2400)
     p.add_argument("--out", default="docs/RESULTS.json")
+    p.add_argument("--worker", default=None, help="internal: run one task")
     args = p.parse_args()
 
-    from mbd_tpu import envs as envs_mod
-    from mbd_tpu.planners import mbd
+    if args.worker:
+        worker(args.worker, args.engine)
+        return
+
+    import numpy as np
+
+    from mbd_tpu.utils import launcher
+
+    tasks = [f"{e}:{s}" for e in args.envs for s in range(args.n_seeds)]
+    records = launcher.run_tasks(
+        [sys.executable, os.path.abspath(__file__), "--worker", "{task}",
+         "--engine", args.engine],
+        tasks, timeout_sec=args.timeout, retries=1, jobs=1)
 
     results = {}
-    for env_name in args.envs:
-        env = envs_mod.get_env(env_name)
-        cfg = mbd.recommended_config(env_name)
-        rews, times = [], []
-        for seed in range(args.n_seeds):
-            t0 = time.time()
-            res = mbd.plan(env, cfg, jax.random.PRNGKey(seed),
-                           chunk_size=50, engine=args.engine)
-            rew = float(res.final_reward)
-            dt = time.time() - t0
-            rews.append(rew)
-            times.append(dt)
-            print(f"{env_name} seed {seed}: rew={rew:.3f} t={dt:.1f}s",
-                  flush=True)
-        results[env_name] = {
-            "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
-                           Ndiffuse=cfg.Ndiffuse,
-                           temp_sample=cfg.temp_sample),
+    for e in args.envs:
+        rews = [r["result"]["final_reward"] for r in records
+                if not r.get("failed") and r["result"]["env"] == e]
+        walls = [r["result"]["wall_s"] for r in records
+                 if not r.get("failed") and r["result"]["env"] == e]
+        if not rews:
+            results[e] = {"failed": True}
+            continue
+        cfgs = [r["result"]["config"] for r in records
+                if not r.get("failed") and r["result"]["env"] == e]
+        results[e] = {
             "rew_mean": float(np.mean(rews)),
             "rew_std": float(np.std(rews)),
-            "time_mean_s": float(np.mean(times)),
-            "backend": jax.default_backend(),
-            "n_seeds": args.n_seeds,
+            "wall_mean_s": float(np.mean(walls)),
+            "n_seeds": len(rews),
+            "config": cfgs[0],
         }
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
-        print(f"{env_name}: {np.mean(rews):.3f} ± {np.std(rews):.3f}",
-              flush=True)
+        print(f"{e}: {np.mean(rews):.3f} ± {np.std(rews):.3f} "
+              f"({np.mean(walls):.0f}s)", flush=True)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
