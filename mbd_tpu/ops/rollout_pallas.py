@@ -2,15 +2,20 @@
 
 The XLA fused path (rollout/fused.py) still materializes inter-op
 intermediates in HBM between fusions — at [B]=8192 rows that traffic is the
-remaining bottleneck. This kernel runs the full rollout for a lane-tile of
-samples entirely on-chip: grid over sample blocks, ``fori_loop`` over env
+remaining bottleneck. This kernel runs the full rollout for a register-tile
+of samples entirely on-chip: grid over sample blocks, ``fori_loop`` over env
 steps (inner ``fori_loop`` over substeps), controls resident in VMEM,
 per-step rewards written as the only output. The physics substep body is
 the SAME jnp code as sim/batched.py — Pallas kernels trace ordinary jnp.
 
-Memory per block (humanoidrun, B_TILE=128):
-  U [H, nu, 128] ≈ 0.4 MB, carry q/qd ≈ 24 KB, rewards [H, 128] ≈ 26 KB —
-comfortably inside the ~16 MB VMEM budget.
+Sample-axis layout: each block carries its samples as an (8, b_tile//8)
+batch — 8 sublanes × lanes — so every per-dof row op in the engine is a
+complete (8, 128) f32 vector register instead of a 1-sublane strip (a
+flat [B] row would waste 7/8 of VPU throughput).
+
+Memory per block (humanoidrun, b_tile=1024):
+  U [H, nu, 8, 128] ≈ 3.5 MB, carry q/qd ≈ 0.2 MB, rewards [H, 8, 128]
+  ≈ 0.2 MB — comfortably inside the ~16 MB VMEM budget.
 """
 
 from __future__ import annotations
@@ -24,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..sim import batched as BT
 from ..sim.system import System
 
-DEFAULT_B_TILE = 128
+SUBLANES = 8
+DEFAULT_B_TILE = 1024      # samples per grid block = 8 sublanes × 128 lanes
 
 
 def _round_up(x: int, m: int) -> int:
@@ -37,22 +43,25 @@ def make_rollout_kernel(sys: System, env, n_frames: int, H: int,
     """Build rollout_fn(q0 [nq], qd0 [nv], U [H, nu, N]) → rews [H, N].
 
     Requires ``env.reward_qs_b`` (reward as a pure q/qd/ctrl function —
-    true for every physics env in the suite).
+    true for every physics env in the suite). ``b_tile`` is samples per
+    grid block; must be a multiple of 8 (the f32 sublane count).
     """
     nq, nv, nu = sys.nq, sys.nv, sys.nu
+    assert b_tile % SUBLANES == 0, "b_tile must be a multiple of 8"
+    lt = b_tile // SUBLANES           # lane extent per block
 
     def kernel(q0_ref, qd0_ref, U_ref, rews_ref, bad_ref):
         def env_step(t, carry):
             q_prev, qd_prev, bad = carry
-            u = U_ref[t]                       # [nu, B]
+            u = U_ref[t]                       # [nu, 8, lt]
             q, qd, bad = BT.env_step_checked_b(sys, q_prev, qd_prev, u,
                                                n_frames, bad)
             r = env.reward_qs_b(q[None], qd[None], u[None], q_prev,
-                                qd_prev)[0]    # [B]
+                                qd_prev)[0]    # [8, lt]
             rews_ref[t] = r
             return (q, qd, bad)
 
-        bad0 = jnp.zeros(q0_ref.shape[-1], q0_ref.dtype)
+        bad0 = jnp.zeros(q0_ref.shape[1:], q0_ref.dtype)
         _, _, bad = jax.lax.fori_loop(
             0, H, env_step, (q0_ref[:], qd0_ref[:], bad0))
         bad_ref[0] = bad
@@ -62,42 +71,48 @@ def make_rollout_kernel(sys: System, env, n_frames: int, H: int,
         n_pad = _round_up(N, b_tile)
         if n_pad != N:
             U = jnp.pad(U, ((0, 0), (0, 0), (0, n_pad - N)))
-        q0b = jnp.broadcast_to(q0[:, None], (nq, n_pad))
-        qd0b = jnp.broadcast_to(qd0[:, None], (nv, n_pad))
-        grid = (n_pad // b_tile,)
+        lanes = n_pad // SUBLANES
+        Upk = U.reshape(H, nu, SUBLANES, lanes)
+        q0b = jnp.broadcast_to(q0[:, None, None], (nq, SUBLANES, lanes))
+        qd0b = jnp.broadcast_to(qd0[:, None, None], (nv, SUBLANES, lanes))
+        grid = (lanes // lt,)
         rews, bad = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((nq, b_tile), lambda i: (0, i),
+                pl.BlockSpec((nq, SUBLANES, lt), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((nv, b_tile), lambda i: (0, i),
+                pl.BlockSpec((nv, SUBLANES, lt), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, nu, b_tile), lambda i: (0, 0, i),
+                pl.BlockSpec((H, nu, SUBLANES, lt), lambda i: (0, 0, 0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((H, b_tile), lambda i: (0, i),
+                pl.BlockSpec((H, SUBLANES, lt), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b_tile), lambda i: (0, i),
+                pl.BlockSpec((1, SUBLANES, lt), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((H, n_pad), U.dtype),
-                jax.ShapeDtypeStruct((1, n_pad), U.dtype),
+                jax.ShapeDtypeStruct((H, SUBLANES, lanes), U.dtype),
+                jax.ShapeDtypeStruct((1, SUBLANES, lanes), U.dtype),
             ),
             interpret=interpret,
-        )(q0b, qd0b, U)
-        return rews[:, :N], bad[0, :N]
+        )(q0b, qd0b, Upk)
+        return (rews.reshape(H, n_pad)[:, :N],
+                bad.reshape(n_pad)[:N])
 
     return rollout_fn
 
 
 def rollout_rewards_pallas(env, state0, Y0s: jnp.ndarray,
                            b_tile: int = DEFAULT_B_TILE,
-                           interpret: bool = False):
+                           interpret: bool = None):
     """Drop-in for rollout/fused.rollout_rewards (no link states):
-    Y0s [N, H, nu] → (rews [N, H], diverged [N])."""
+    Y0s [N, H, nu] → (rews [N, H], diverged [N]). ``interpret=None`` means
+    auto: compiled on TPU, interpreter elsewhere (Mosaic is TPU-only)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     N, H, nu = Y0s.shape
     fn = make_rollout_kernel(env.sys, env, env.n_frames, H, b_tile,
                              interpret)

@@ -21,17 +21,21 @@ from ..sim import batched as BT
 from ..sim.pipeline import PipelineState, X, Xd
 
 
+SUBLANES = 8    # f32 vreg sublane count: batch packs as (8, N//8) so every
+                # per-dof row op fills complete (8, 128) vector registers
+
+
 def rollout_qs(sys, n_frames: int, q0: jnp.ndarray, qd0: jnp.ndarray,
                U: jnp.ndarray):
-    """Scan env steps. q0 [nq, B], qd0 [nv, B], U [H, nu, B] →
-    (qs [H, nq, B], qds [H, nv, B], diverged [B])."""
+    """Scan env steps. q0 [nq, *B], qd0 [nv, *B], U [H, nu, *B] →
+    (qs [H, nq, *B], qds [H, nv, *B], diverged [*B])."""
 
     def body(carry, u):
         q, qd, bad = carry
         q, qd, bad = BT.env_step_checked_b(sys, q, qd, u, n_frames, bad)
         return (q, qd, bad), (q, qd)
 
-    bad0 = jnp.zeros(q0.shape[-1], q0.dtype)
+    bad0 = jnp.zeros(q0.shape[1:], q0.dtype)
     (_, _, bad), (qs, qds) = jax.lax.scan(body, (q0, qd0, bad0), U)
     return qs, qds, bad
 
@@ -43,9 +47,15 @@ def states_from_qs(sys, qs: jnp.ndarray, qds: jnp.ndarray) -> PipelineState:
     nv = qds.shape[1]
     q_flat = jnp.moveaxis(qs, 0, -1).reshape(nq, B * H)   # [nq, B*H]
     qd_flat = jnp.moveaxis(qds, 0, -1).reshape(nv, B * H)
+    # pack the folded batch to (8, ·) full-vreg rows when divisible
+    BH = B * H
+    packed = BH % SUBLANES == 0
+    if packed:
+        q_flat = q_flat.reshape(nq, SUBLANES, BH // SUBLANES)
+        qd_flat = qd_flat.reshape(nv, SUBLANES, BH // SUBLANES)
     out = BT.link_out_b(sys, q_flat, qd_flat)
 
-    def unfold(rows):   # list of [k, B*H] → [H, B, nbody-1, k]
+    def unfold(rows):   # list of [k, *(B*H)] → [H, B, nbody-1, k]
         arr = jnp.stack(rows[1:])                         # [nlink, k, B*H]
         arr = arr.reshape(arr.shape[0], arr.shape[1], B, H)
         return jnp.transpose(arr, (3, 2, 0, 1))
@@ -71,16 +81,30 @@ def rollout_rewards(env, state0, Y0s: jnp.ndarray, need_states: bool = None
     sys = env.sys
     N, H, nu = Y0s.shape
     U = jnp.transpose(Y0s, (1, 2, 0))                     # [H, nu, N]
-    q0 = jnp.broadcast_to(state0.pipeline_state.q[:, None], (sys.nq, N))
-    qd0 = jnp.broadcast_to(state0.pipeline_state.qd[:, None], (sys.nv, N))
-    qs, qds, diverged = rollout_qs(sys, env.n_frames, q0, qd0, U)
+    # pack the sample axis to (8, L): full-vreg rows in the engine
+    pad = (-N) % SUBLANES
+    if pad:
+        U = jnp.pad(U, ((0, 0), (0, 0), (0, pad)))
+    Np = N + pad
+    L = Np // SUBLANES
+    Upk = U.reshape(H, nu, SUBLANES, L)
+    q0 = jnp.broadcast_to(state0.pipeline_state.q[:, None, None],
+                          (sys.nq, SUBLANES, L))
+    qd0 = jnp.broadcast_to(state0.pipeline_state.qd[:, None, None],
+                           (sys.nv, SUBLANES, L))
+    qs, qds, diverged = rollout_qs(sys, env.n_frames, q0, qd0, Upk)
+    diverged = diverged.reshape(Np)[:N]
 
     fast = hasattr(env, "reward_qs_b")
     if need_states is None:
         need_states = not fast
-    ps = states_from_qs(sys, qs, qds) if need_states else None
+    ps = None
+    if need_states:
+        ps = states_from_qs(sys, qs.reshape(H, sys.nq, Np)[..., :N],
+                            qds.reshape(H, sys.nv, Np)[..., :N])
     if fast:
-        rews = env.reward_qs_b(qs, qds, U, q0, qd0)          # [H, N]
+        rews = env.reward_qs_b(qs, qds, Upk, q0, qd0)     # [H, 8, L]
+        rews = rews.reshape(H, Np)[:, :N]
     else:
         rews = env.traj_reward(ps, Y0s, state0.pipeline_state)
     return jnp.transpose(rews, (1, 0)), ps, diverged

@@ -32,13 +32,26 @@ from .system import FREE, HINGE, SLIDE, System
 from .system import (PAIR_CAPSULE_CAPSULE, PAIR_PLANE_CAPSULE,
                      PAIR_PLANE_SPHERE, PAIR_SPHERE_BOX)
 
-Arr = jnp.ndarray   # [B] or [k, B]
+Arr = jnp.ndarray   # [*B] or [k, *B]
+
+# The batch ``B`` below is a SHAPE (tuple), not an int: callers may pass a
+# flat (N,) batch or a VPU-register-shaped (8, N//8) batch. The sublane-
+# packed form is the fast one on TPU: a [k≤6, N] row only fills k of the 8
+# sublanes of every (8, 128) f32 vector register, wasting ≥ 5/8 of VPU
+# throughput; [k, 8, N//8] rows are full registers. All engine math is
+# elementwise over the batch, so the code below is written once, batch-shape
+# polymorphic.
 
 
-def constv(vals, B: int, dtype) -> Arr:
-    """[k, B] constant built from python scalars (no captured device
+def _bshape(B) -> tuple:
+    return (B,) if isinstance(B, int) else tuple(B)
+
+
+def constv(vals, B, dtype) -> Arr:
+    """[k, *B] constant built from python scalars (no captured device
     constants — required for use inside Pallas kernels)."""
-    return jnp.stack([jnp.full((B,), float(x), dtype) for x in vals])
+    Bs = _bshape(B)
+    return jnp.stack([jnp.full(Bs, float(x), dtype) for x in vals])
 
 
 # ---------------------------------------------------------------------------
@@ -111,15 +124,15 @@ def _body_joints(sys: System, b: int):
 
 
 def fk_b(sys: System, q: Arr) -> KinB:
-    B = q.shape[-1]
+    B = q.shape[1:]
     dtype = q.dtype
     np_ = lambda x: np.asarray(x)  # noqa: E731
-    zero3 = jnp.zeros((3, B), dtype)
+    zero3 = jnp.zeros((3,) + B, dtype)
     init_q = np.asarray(sys.init_q)
 
     xpos: List[Arr] = [zero3]
     xquat: List[Arr] = [jnp.concatenate(
-        [jnp.ones((1, B), dtype), jnp.zeros((3, B), dtype)])]
+        [jnp.ones((1,) + B, dtype), jnp.zeros((3,) + B, dtype)])]
     S: List[Arr] = [None] * sys.nv
 
     body_pos = np_(sys.body_pos)
@@ -143,7 +156,7 @@ def fk_b(sys: System, q: Arr) -> KinB:
                 quat = q[qadr + 3:qadr + 7]
                 quat = quat / jnp.sqrt((quat * quat).sum(0))
                 c0, c1, c2 = quat_to_cols(quat)
-                zB = jnp.zeros((3, B), dtype)
+                zB = jnp.zeros((3,) + B, dtype)
                 for k in range(3):
                     e = constv([1.0 if i == k else 0.0 for i in range(3)],
                                B, dtype)
@@ -161,7 +174,8 @@ def fk_b(sys: System, q: Arr) -> KinB:
             elif jt == SLIDE:
                 axis_w = qrot(quat, const3(jnt_axis[j]))
                 pos = pos + axis_w * (q[qadr] - init_q[qadr])
-                S[dadr] = jnp.concatenate([jnp.zeros((3, B), dtype), axis_w])
+                S[dadr] = jnp.concatenate([jnp.zeros((3,) + B, dtype),
+                                           axis_w])
             else:
                 raise NotImplementedError
         xpos.append(pos)
@@ -221,7 +235,7 @@ def spatial_inertia_b(sys: System, kin: KinB, b: int) -> List[List[Arr]]:
     I = [[ I_rot + m c×c×ᵀ,  m c× ], [ m c×ᵀ, m·1 ]] about world origin.
     """
     dtype = kin.xpos[1].dtype
-    B = kin.xpos[1].shape[-1]
+    B = kin.xpos[1].shape[1:]
     m = float(np.asarray(sys.body_mass)[b])
     ipos = np.asarray(sys.body_ipos)[b]
     iquat = np.asarray(sys.body_iquat)[b]
@@ -265,7 +279,7 @@ def smooth_b(sys: System, kin: KinB, qd: Arr):
     """
     tc = topo(sys)
     dtype = qd.dtype
-    B = qd.shape[-1]
+    B = qd.shape[1:]
 
     # per-body spatial inertias (about origin)
     I_b = [None] + [spatial_inertia_b(sys, kin, b)
@@ -290,7 +304,7 @@ def smooth_b(sys: System, kin: KinB, qd: Arr):
 
     # W_i = S_i qd_i ; body velocities by forward tree accumulation
     W = [kin.S[i] * qd[i] for i in range(sys.nv)]
-    v_b = [jnp.zeros((6, B), dtype)]
+    v_b = [jnp.zeros((6,) + B, dtype)]
     for b in range(1, sys.nbody):
         v = v_b[sys.body_parentid[b]]
         for i in own_dofs[b]:
@@ -492,7 +506,7 @@ class ContactB(NamedTuple):
 
 def _geom_world(sys: System, kin: KinB, g: int):
     dtype = kin.xpos[1].dtype
-    B = kin.xpos[1].shape[-1]
+    B = kin.xpos[1].shape[1:]
     b = sys.geom_bodyid[g]
     gp = np.asarray(sys.geom_pos)[g]
     gq = np.asarray(sys.geom_quat)[g]
@@ -509,7 +523,7 @@ def collide_b(sys: System, kin: KinB) -> List[ContactB]:
     size = np.asarray(sys.geom_size)
     fric = np.asarray(sys.geom_friction)
     dtype = kin.xpos[1].dtype
-    B = kin.xpos[1].shape[-1]
+    B = kin.xpos[1].shape[1:]
 
     def zhat(q):
         c0, c1, c2 = quat_to_cols(q)
@@ -562,7 +576,7 @@ def collide_b(sys: System, kin: KinB) -> List[ContactB]:
             c0, c1, c2 = quat_to_cols(qb)
             d = pa - pb
             pl = jnp.stack([dot3(c0, d), dot3(c1, d), dot3(c2, d)])
-            bs_c = constv(bs, 1, dtype)
+            bs_c = constv(bs, (1,) * len(B), dtype)
             clamped = jnp.clip(pl, -bs_c, bs_c)
             delta = pl - clamped
             dist_out = jnp.sqrt(dot3(delta, delta))
@@ -655,7 +669,7 @@ def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr):
     """One physics substep. q [nq, B], qd [nv, B], ctrl [nu, B]."""
     tc = topo(sys)
     dtype = q.dtype
-    B = q.shape[-1]
+    B = q.shape[1:]
     h = float(np.asarray(sys.dt))
     damping = np.asarray(sys.dof_damping)
 
@@ -813,7 +827,7 @@ def link_out_b(sys: System, q: Arr, qd: Arr) -> LinkOutB:
         for i in tc.ancdof_body[b]:
             v = W[i] if v is None else v + W[i]
         if v is None:
-            v = jnp.zeros((6,) + q.shape[-1:], q.dtype)
+            v = jnp.zeros((6,) + q.shape[1:], q.dtype)
         a = v[:3]
         vel.append(v[3:] + cross(a, kin.xpos[b]))
         ang.append(a)
