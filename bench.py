@@ -61,7 +61,8 @@ def _bench(env_name: str, cfg_kwargs: dict, engine, target_s, chunk: int):
     vs = (target_s / dt) if target_s else 0.0
     return {
         "metric": f"{env_name} MBD denoise env-steps/sec/chip "
-                  f"(fused engine; Nsample={cfg.Nsample}, H={cfg.Hsample}, "
+                  f"({engine or 'default'} engine; Nsample={cfg.Nsample}, "
+                  f"H={cfg.Hsample}, "
                   f"Ndiffuse={cfg.Ndiffuse}; full denoise wall={dt:.2f}s)",
         "value": round(n_env_steps / dt),
         "unit": "env-steps/sec",

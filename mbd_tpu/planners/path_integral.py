@@ -89,7 +89,7 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
          engine: Optional[str] = None) -> PathIntegralResult:
     if engine is None:
         from .mbd import default_engine
-        engine = default_engine(env)
+        engine = default_engine(env, mesh)
     update_fn = _UPDATE_FNS[cfg.update_method]
     nu = env.action_size
 
