@@ -265,9 +265,30 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
     # diverge on trajectories the batch engines integrate fine)
     if engine in ("fused", "pallas"):
         from ..rollout.fused import rollout_rewards
-        final_rews = rollout_rewards(env, state_init, Ybars[-1][None],
-                                     need_states=False)[0][0]
+
+        final_rews, _, final_bad = jax.jit(
+            lambda s, y: rollout_rewards(env, s, y, need_states=False))(
+                state_init, Ybars[-1][None])
+        final_reward = final_rews[0].mean()
+        # Best-feasible-iterate fallback: the softmax barycenter of clean
+        # samples can itself sit on a divergent knife-edge in a contact-rich
+        # landscape. When the final mean trajectory's own rollout flags
+        # divergence, return the best NON-diverged iterate from the denoise
+        # trace instead (one extra batched rollout over Ndiffuse-1 × H —
+        # tiny next to the denoise itself).
+        if bool(final_bad[0]):
+            cand_rews, _, cand_bad = jax.jit(
+                lambda s, y: rollout_rewards(env, s, y, need_states=False))(
+                    state_init, Ybars)
+            cand = cand_rews.mean(axis=-1)
+            cand = jnp.where((cand_bad == 0) & jnp.isfinite(cand), cand,
+                             -jnp.inf)
+            best = jnp.argmax(cand)
+            if bool(jnp.isfinite(cand[best])):
+                Ybars = Ybars.at[-1].set(Ybars[best])
+                final_reward = cand[best]
     else:
         final_rews = rollout_us(env.step, state_init, Ybars[-1])[0]
+        final_reward = final_rews.mean()
     return MBDResult(Ybars=Ybars, rews_trace=rews_trace,
-                     final_reward=final_rews.mean())
+                     final_reward=final_reward)
