@@ -156,8 +156,23 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
     mu_0ts, rews_trace = refine(rng_exp)
 
     if engine in ("fused", "pallas"):
-        final_rews = batch_eval(state_init, mu_0ts[-1][None])[0][0]
+        final_rews, final_bad = jax.jit(batch_eval)(state_init,
+                                                    mu_0ts[-1][None])
+        final_reward = final_rews[0].mean()
+        # best-feasible-iterate fallback (cf. planners/mbd.py): if the final
+        # mean trajectory's own rollout diverges, return the best
+        # non-diverged iterate from the refine trace
+        if final_bad is not None and bool(final_bad[0]):
+            cand_rews, cand_bad = jax.jit(batch_eval)(state_init, mu_0ts)
+            cand = cand_rews.mean(axis=-1)
+            cand = jnp.where((cand_bad == 0) & jnp.isfinite(cand), cand,
+                             -jnp.inf)
+            best = jnp.argmax(cand)
+            if bool(jnp.isfinite(cand[best])):
+                mu_0ts = mu_0ts.at[-1].set(mu_0ts[best])
+                final_reward = cand[best]
     else:
         final_rews = eval_us(env.step, state_init, mu_0ts[-1])
+        final_reward = final_rews.mean()
     return PathIntegralResult(mu_0ts=mu_0ts, rews_trace=rews_trace,
-                              final_reward=final_rews.mean())
+                              final_reward=final_reward)
