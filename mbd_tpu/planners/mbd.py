@@ -80,16 +80,16 @@ class MBDResult:
 
 def default_engine(env, mesh: Optional[Mesh] = None) -> str:
     """Engine selection: analytic envs vmap; physics envs use the
-    VMEM-resident Pallas rollout on a single TPU chip (≈10× the XLA-fused
-    path — the whole H×n_frames loop stays on-chip) when the env has the
-    pure-q reward fast path, else the batch-last fused engine. Meshed runs
-    use fused: GSPMD partitions the XLA program across chips, while a
-    pallas_call does not auto-partition."""
+    VMEM-resident Pallas rollout on TPU (≈10× the XLA-fused path — the whole
+    H×n_frames loop stays on-chip) when the env has the pure-q reward fast
+    path, else the batch-last fused engine. Meshed TPU runs keep the Pallas
+    kernel via ``jax.shard_map`` (ops/rollout_pallas.py:
+    rollout_rewards_pallas_sharded) — each chip rolls out its sample shard
+    locally and the planner reductions cross chips as ICI collectives."""
     from ..envs.physics import PhysicsEnv
     if not isinstance(env, PhysicsEnv):
         return "vmap"
-    if (mesh is None and jax.default_backend() == "tpu"
-            and hasattr(env, "reward_qs_b")):
+    if jax.default_backend() == "tpu" and hasattr(env, "reward_qs_b"):
         return "pallas"
     return "fused"
 
@@ -111,15 +111,57 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
     nu = env.action_size
     if engine == "pallas" and cfg.enable_demo:
         engine = "fused"
+    shard = sample_sharding(mesh) if mesh is not None else None
+
     if engine in ("fused", "pallas"):
         from ..rollout.fused import rollout_rewards
-        batch_rollout = None
         if engine == "pallas":
             from ..ops.rollout_pallas import rollout_rewards_pallas
+        n_loc = (cfg.Nsample // mesh.devices.size if mesh is not None
+                 else cfg.Nsample)
+        b_tile = min(1024, ((n_loc + 7) // 8) * 8)
+
+        def _eval_local(Y0s_):
+            """Per-sample evaluation (no cross-sample coupling): Y0s_
+            [n, H, nu] → (mean reward [n], diverged flag [n], demo
+            log-density [n] — zeros when demo is off)."""
+            if engine == "pallas":
+                rewss, bad = rollout_rewards_pallas(env, state_init, Y0s_,
+                                                    b_tile=b_tile)
+                logpd = jnp.zeros(rewss.shape[0])
+            else:
+                rewss, qs, bad = rollout_rewards(
+                    env, state_init, Y0s_,
+                    need_states=cfg.enable_demo or None)
+                logpd = (env.traj_xref_logpd(qs) if cfg.enable_demo
+                         else jnp.zeros(rewss.shape[0]))
+            return rewss.mean(axis=-1), bad, logpd
+
+        if mesh is not None:
+            # pallas_call does not auto-partition under GSPMD, and the fused
+            # engine's batch-(sub)lane packing reshape invites a silent
+            # all-gather — so under a mesh the whole per-sample evaluation
+            # runs inside jax.shard_map: each chip rolls out its Nsample/n_dev
+            # shard locally; only the [n]-vector outputs leave the region, and
+            # the planner's reductions below become small ICI collectives
+            # (SURVEY §5's mapping of reference mbd_planner.py:110-128).
+            from jax.sharding import PartitionSpec as P
+            axis = mesh.axis_names[0]
+            eval_samples = jax.shard_map(
+                _eval_local, mesh=mesh, in_specs=P(axis),
+                out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False)  # pallas out_shapes carry no vma metadata
+        else:
+            eval_samples = _eval_local
     else:
         batch_rollout = jax.vmap(
             functools.partial(rollout_us, env.step), in_axes=(None, 0))
-    shard = sample_sharding(mesh) if mesh is not None else None
+
+        def eval_samples(Y0s_):
+            rewss, qs = batch_rollout(state_init, Y0s_)
+            logpd = (jax.vmap(env.eval_xref_logpd)(qs) if cfg.enable_demo
+                     else jnp.zeros(rewss.shape[0]))
+            return rewss.mean(axis=-1), None, logpd
 
     def reverse_once(carry, i):
         rng, Ybar_i = carry
@@ -132,16 +174,7 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
         if shard is not None:
             Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
 
-        diverged = None
-        if engine == "pallas":
-            (rewss, diverged), qs = rollout_rewards_pallas(
-                env, state_init, Y0s), None
-        elif engine == "fused":
-            rewss, qs, diverged = rollout_rewards(
-                env, state_init, Y0s, need_states=cfg.enable_demo or None)
-        else:
-            rewss, qs = batch_rollout(state_init, Y0s)
-        rews = rewss.mean(axis=-1)
+        rews, diverged, xref_logpds = eval_samples(Y0s)
         # diverged-rollout guard: a numerically diverged sample can report
         # an absurdly high reward (e.g. torso_x → 1e12) and hijack the
         # softmax barycenter; demote flagged/non-finite rollouts to the
@@ -160,10 +193,8 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
         if cfg.enable_demo:
             # Demo fusion (reference :117-125): take the better of the reward
             # log-density and the demo-tracking log-density, re-standardize.
-            if engine == "fused":
-                xref_logpds = env.traj_xref_logpd(qs)
-            else:
-                xref_logpds = jax.vmap(env.eval_xref_logpd)(qs)
+            # (The max is a global cross-sample reduction — kept outside the
+            # shard_map region, where GSPMD lowers it to a scalar collective.)
             xref_logpds = xref_logpds - xref_logpds.max()
             logpdemo = (xref_logpds + env.rew_xref - rew_mean) / rew_std \
                 / cfg.temp_sample

@@ -99,22 +99,41 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
     rng_exp, rng = jax.random.split(rng)
 
     if engine in ("fused", "pallas"):
+        n_loc = (cfg.Nsample // mesh.devices.size if mesh is not None
+                 else cfg.Nsample)
+        b_tile = min(1024, ((n_loc + 7) // 8) * 8)
         if engine == "pallas":
             from ..ops.rollout_pallas import rollout_rewards_pallas
 
-            def batch_eval(s, y):
-                rews, bad = rollout_rewards_pallas(env, s, y)
-                return rews, bad
+            def _eval_local(s, y):
+                rews, bad = rollout_rewards_pallas(env, s, y, b_tile=b_tile)
+                return rews.mean(axis=-1), bad
         else:
             from ..rollout.fused import rollout_rewards
 
-            def batch_eval(s, y):
+            def _eval_local(s, y):
                 rews, _, bad = rollout_rewards(env, s, y)
-                return rews, bad
+                return rews.mean(axis=-1), bad
+        if mesh is not None:
+            # per-sample rollout stays device-local under shard_map (the
+            # pallas_call cannot auto-partition, and the fused engine's lane
+            # packing must not be "solved" by a GSPMD all-gather); only the
+            # [n] reward/diverged vectors leave the region — cf. planners/mbd.py
+            from jax.sharding import PartitionSpec as P
+            axis = mesh.axis_names[0]
+            _sharded = jax.shard_map(
+                lambda y: _eval_local(state_init, y), mesh=mesh,
+                in_specs=P(axis), out_specs=(P(axis), P(axis)),
+                check_vma=False)  # pallas out_shapes carry no vma metadata
+            batch_eval = lambda s, y: _sharded(y)  # noqa: E731
+        else:
+            batch_eval = _eval_local
+        eval_final = _eval_local   # final/candidate evals are tiny-N, unsharded
     else:
         _ev = jax.vmap(functools.partial(eval_us, env.step),
                        in_axes=(None, 0))
-        batch_eval = lambda s, y: (_ev(s, y), None)  # noqa: E731
+        batch_eval = lambda s, y: (_ev(s, y).mean(axis=-1), None)  # noqa: E731
+        eval_final = batch_eval
     shard = sample_sharding(mesh) if mesh is not None else None
 
     def update_once(carry, _):
@@ -126,7 +145,6 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
             Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
 
         rews, diverged = batch_eval(state_init, Y0s)
-        rews = rews.mean(axis=-1)
         # diverged-rollout guard (cf. planners/mbd.py)
         valid = jnp.isfinite(rews)
         if diverged is not None:
@@ -156,15 +174,14 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
     mu_0ts, rews_trace = refine(rng_exp)
 
     if engine in ("fused", "pallas"):
-        final_rews, final_bad = jax.jit(batch_eval)(state_init,
+        final_rews, final_bad = jax.jit(eval_final)(state_init,
                                                     mu_0ts[-1][None])
-        final_reward = final_rews[0].mean()
+        final_reward = final_rews[0]
         # best-feasible-iterate fallback (cf. planners/mbd.py): if the final
         # mean trajectory's own rollout diverges, return the best
         # non-diverged iterate from the refine trace
         if final_bad is not None and bool(final_bad[0]):
-            cand_rews, cand_bad = jax.jit(batch_eval)(state_init, mu_0ts)
-            cand = cand_rews.mean(axis=-1)
+            cand, cand_bad = jax.jit(eval_final)(state_init, mu_0ts)
             cand = jnp.where((cand_bad == 0) & jnp.isfinite(cand), cand,
                              -jnp.inf)
             best = jnp.argmax(cand)

@@ -1,0 +1,121 @@
+"""Multi-chip engine tests on the 8-device virtual CPU mesh.
+
+Round-1 verdict gaps: meshed runs used to fall back to the slow fused
+engine, and no test proved the sharding avoids a silent GSPMD all-gather.
+These tests pin both: (a) the shard_map'd Pallas/fused engines produce the
+same denoise trace as the unsharded program, and (b) the compiled HLO of a
+meshed reverse step moves no rollout-sized tensors between chips — only
+scalar / [H, nu]-sized reductions (the reference's three cross-sample
+coupling points, mbd_planner.py:110-128, riding ICI).
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbd_tpu import envs
+from mbd_tpu.parallel import sample_mesh
+from mbd_tpu.planners import mbd, path_integral
+
+
+@pytest.fixture(scope="module")
+def hopper():
+    return envs.get_env("hopper")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return sample_mesh()
+
+
+CFG = dict(Nsample=64, Hsample=10, Ndiffuse=8, temp_sample=0.1)
+
+
+@pytest.mark.slow
+def test_mbd_pallas_meshed_matches_fused_unsharded(hopper, mesh):
+    """The meshed Pallas engine (shard_map, interpret mode on CPU) must
+    reproduce the unsharded fused-engine denoise trace: identical RNG
+    stream -> identical sampled controls -> traces agree to f32 rollout
+    tolerance."""
+    cfg = mbd.MBDConfig(**CFG)
+    r_ref = mbd.plan(hopper, cfg, jax.random.PRNGKey(0), engine="fused")
+    r_mesh = mbd.plan(hopper, cfg, jax.random.PRNGKey(0), mesh=mesh,
+                      engine="pallas")
+    np.testing.assert_allclose(np.asarray(r_ref.rews_trace),
+                               np.asarray(r_mesh.rews_trace), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_mbd_fused_meshed_matches_unsharded(hopper, mesh):
+    cfg = mbd.MBDConfig(**CFG)
+    r_ref = mbd.plan(hopper, cfg, jax.random.PRNGKey(0), engine="fused")
+    r_mesh = mbd.plan(hopper, cfg, jax.random.PRNGKey(0), mesh=mesh,
+                      engine="fused")
+    np.testing.assert_allclose(np.asarray(r_ref.rews_trace),
+                               np.asarray(r_mesh.rews_trace), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_path_integral_fused_meshed_matches_unsharded(hopper, mesh):
+    cfg = path_integral.PathIntegralConfig(
+        update_method="mppi", Nsample=64, Hsample=10, Nrefine=8)
+    r_ref = path_integral.plan(hopper, cfg, jax.random.PRNGKey(0),
+                               engine="fused")
+    r_mesh = path_integral.plan(hopper, cfg, jax.random.PRNGKey(0),
+                                mesh=mesh, engine="fused")
+    np.testing.assert_allclose(np.asarray(r_ref.rews_trace[:3]),
+                               np.asarray(r_mesh.rews_trace[:3]), atol=5e-3)
+
+
+def _collective_result_sizes(hlo_text):
+    """[(opname, n_elements)] for every cross-replica collective in the
+    compiled HLO."""
+    pat = re.compile(
+        r"=\s*\w+\[([\d,]*)\][^=]*?\b"
+        r"(all-gather|all-reduce|all-to-all|collective-permute|"
+        r"reduce-scatter)\b")
+    out = []
+    for m in pat.finditer(hlo_text):
+        dims = m.group(1)
+        n = int(np.prod([int(d) for d in dims.split(",")])) if dims else 1
+        out.append((m.group(2), n))
+    return out
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("engine", ["fused", "pallas"])
+def test_meshed_reverse_step_moves_no_rollout_tensors(hopper, mesh, engine):
+    """Compile one meshed MBD reverse step for hopper and inspect the HLO:
+    every cross-chip collective must be (much) smaller than the sampled
+    control tensor Y0s [N, H, nu] — i.e. the rollout work stays sharded and
+    only the softmax/std/barycenter reductions cross chips. This is the
+    guard against GSPMD "solving" a layout change with a full all-gather
+    (the round-1 fused.py lane-packing risk)."""
+    from mbd_tpu.core.schedule import make_schedule
+
+    cfg = mbd.MBDConfig(**CFG)
+    state_init = hopper.reset(jax.random.PRNGKey(0))
+    sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
+    reverse_once = mbd.make_reverse_once(hopper, cfg, state_init, sched,
+                                         mesh=mesh, engine=engine)
+
+    def step(rng, Ybar):
+        (_, Ybar_next), (_, rew) = reverse_once((rng, Ybar),
+                                                jnp.asarray(cfg.Ndiffuse - 1))
+        return Ybar_next, rew
+
+    compiled = jax.jit(step).lower(
+        jax.random.PRNGKey(1),
+        jnp.zeros((cfg.Hsample, hopper.action_size))).compile()
+    hlo = compiled.as_text()
+    y0s_elems = cfg.Nsample * cfg.Hsample * hopper.action_size
+    sizes = _collective_result_sizes(hlo)
+    big = [(op, n) for op, n in sizes if n >= y0s_elems]
+    assert not big, (
+        f"rollout-sized collective(s) in meshed {engine} HLO: {big}; "
+        f"Y0s has {y0s_elems} elements")
+    # sanity: the program is actually partitioned (has some collective)
+    assert sizes, "expected at least one small cross-chip reduction"
