@@ -262,30 +262,48 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
         n = steps.shape[0]
         pad = (-n) % chunk_size
         steps_p = jnp.concatenate([steps, jnp.ones(pad, steps.dtype)])
+        # checkpoint layout: two preallocated .npy memmaps for the history
+        # (per-chunk slice writes — O(chunk) IO, not O(history) rewrites) plus
+        # a small meta .npz with the carry, written AFTER the history flush so
+        # a mid-chunk crash only re-does that chunk
         start = 0
+        Y_mm = r_mm = None
         if checkpoint_path is not None:
             import os
 
             import numpy as _np
             if not checkpoint_path.endswith(".npz"):
                 checkpoint_path += ".npz"
+            base = checkpoint_path[:-len(".npz")]
+            y_path, r_path = base + ".Ybars.npy", base + ".rews.npy"
             if os.path.exists(checkpoint_path):
-                ck = _np.load(checkpoint_path)
-                start = int(ck["next_chunk"])
-                carry = (jnp.asarray(ck["rng"]), jnp.asarray(ck["Ybar"]))
-                Ybars_l = [jnp.asarray(ck["Ybars"])] if start else []
-                rews_l = [jnp.asarray(ck["rews"])] if start else []
+                meta = _np.load(checkpoint_path)
+                start = int(meta["next_chunk"])
+                carry = (jnp.asarray(meta["rng"]), jnp.asarray(meta["Ybar"]))
+                Y_mm = _np.lib.format.open_memmap(y_path, mode="r+")
+                r_mm = _np.lib.format.open_memmap(r_path, mode="r+")
+                if start:
+                    Ybars_l = [jnp.asarray(Y_mm[:start])]
+                    rews_l = [jnp.asarray(r_mm[:start])]
+            else:
+                Y_mm = _np.lib.format.open_memmap(
+                    y_path, mode="w+", dtype=_np.float32,
+                    shape=(n + pad, cfg.Hsample, env.action_size))
+                r_mm = _np.lib.format.open_memmap(
+                    r_path, mode="w+", dtype=_np.float32, shape=(n + pad,))
         for c in range(start, n + pad, chunk_size):
             carry, (Yb, rw) = reverse_chunk(carry, steps_p[c:c + chunk_size])
             Ybars_l.append(Yb)
             rews_l.append(rw)
             if checkpoint_path is not None:
                 import numpy as _np
-                _np.savez(
-                    checkpoint_path, next_chunk=c + chunk_size,
-                    rng=_np.asarray(carry[0]), Ybar=_np.asarray(carry[1]),
-                    Ybars=_np.concatenate([_np.asarray(y) for y in Ybars_l]),
-                    rews=_np.concatenate([_np.asarray(r) for r in rews_l]))
+                Y_mm[c:c + chunk_size] = _np.asarray(Yb)
+                r_mm[c:c + chunk_size] = _np.asarray(rw)
+                Y_mm.flush()
+                r_mm.flush()
+                _np.savez(checkpoint_path, next_chunk=c + chunk_size,
+                          rng=_np.asarray(carry[0]),
+                          Ybar=_np.asarray(carry[1]))
             if progress_fn is not None:
                 progress_fn(min(c + chunk_size, n), float(rw[-1]))
         Ybars = jnp.concatenate(Ybars_l)[:n]

@@ -218,12 +218,17 @@ class TopoCache:
             self.M_lower[(i, j)] = True
 
 
-_TOPO_CACHE: Dict[int, TopoCache] = {}
+_TOPO_CACHE: Dict[tuple, TopoCache] = {}
 
 
 def topo(sys: System) -> TopoCache:
-    key = id(sys.contact_pairs) ^ hash(
-        (sys.nv, sys.nbody, sys.body_parentid, sys.jnt_type))
+    # key on the FULL static structure (all hashable aux tuples): these
+    # fields determine every mask TopoCache derives. (An id()-based key can
+    # silently collide when ids are reused after GC — wrong physics.)
+    key = (sys.nq, sys.nv, sys.nu, sys.nbody, sys.njnt, sys.ngeom,
+           sys.body_parentid, sys.jnt_type, sys.jnt_bodyid, sys.jnt_qposadr,
+           sys.jnt_dofadr, sys.jnt_limited, sys.dof_bodyid, sys.geom_type,
+           sys.geom_bodyid, sys.actuator_jntid, sys.contact_pairs)
     if key not in _TOPO_CACHE:
         _TOPO_CACHE[key] = TopoCache(sys)
     return _TOPO_CACHE[key]

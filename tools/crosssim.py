@@ -1,0 +1,188 @@
+"""Independent reward validation: re-simulate MBD plans through MuJoCo C.
+
+Every reward in docs/RESULTS.json is evaluated by the same engine that
+produced the plan, so nothing rules out contact-model exploits. This tool
+closes that loop with the one independent simulator available here (MuJoCo,
+already the load-time oracle): run the planner, take the final open-loop
+control sequence, roll it through ``mujoco.mj_step`` from the identical
+initial state, and score the MuJoCo trajectory with the env's own reward
+formula (``reward_qs_b`` — a pure function of q/qd, and our q layout IS the
+MuJoCo qpos layout, see sim/system.py). Results go to
+docs/RESULTS_CROSSSIM.json; the final plan and the denoise-iterate stack are
+persisted to results/<env>/ (mu_0ts.npy matches the reference artifact
+layout, mbd/planners/mbd_planner.py:156).
+
+Open-loop trajectories through two different contact solvers diverge
+chaotically, so this is a plausibility check (does the plan still earn a
+comparable reward on an independent simulator?), not a bitwise one — the
+same caveat the reference's brax-positional-vs-generalized backends carry.
+
+  python tools/crosssim.py --envs hopper ant --seed 0
+  python tools/crosssim.py --worker hopper:0      # one task (JSON to stdout)
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+XMLS = {
+    "cartpole": "cartpole.xml", "hopper": "hopper.xml",
+    "walker2d": "walker2d.xml", "halfcheetah": "halfcheetah.xml",
+    "ant": "ant.xml", "pushT": "pushT.xml",
+    "humanoidstandup": "humanoidstandup.xml", "humanoidrun": "humanoidrun.xml",
+}
+
+
+def mujoco_rollout(env, xml: str, q0, qd0, us):
+    """Roll the open-loop plan through MuJoCo C; returns (qs, qds) stacked
+    per env-step ([H, nq], [H, nv])."""
+    import mujoco
+    import numpy as np
+
+    m = mujoco.MjModel.from_xml_path(xml)
+    d = mujoco.MjData(m)
+    d.qpos[:] = np.asarray(q0, np.float64)
+    d.qvel[:] = np.asarray(qd0, np.float64)
+    mujoco.mj_forward(m, d)
+    lo, hi = m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]
+    limited = m.actuator_ctrllimited.astype(bool)
+    qs, qds = [], []
+    for u in np.asarray(us, np.float64):
+        d.ctrl[:] = np.where(limited, np.clip(u, lo, hi), u)
+        mujoco.mj_step(m, d, nstep=env.n_frames)
+        qs.append(d.qpos.copy())
+        qds.append(d.qvel.copy())
+    return np.stack(qs), np.stack(qds)
+
+
+def reward_from_qs(env, qs, qds, us, q0, qd0):
+    """Score a trajectory with the env's batch-last pure-q reward."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rews = env.reward_qs_b(
+        jnp.asarray(qs, jnp.float32)[..., None],
+        jnp.asarray(qds, jnp.float32)[..., None],
+        jnp.asarray(us, jnp.float32)[..., None],
+        jnp.asarray(q0, jnp.float32)[:, None],
+        jnp.asarray(qd0, jnp.float32)[:, None])
+    return float(np.asarray(rews).mean())
+
+
+def worker(task: str):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                     ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from mbd_tpu import envs as envs_mod
+    from mbd_tpu.envs.physics import asset_path
+    from mbd_tpu.planners import mbd
+
+    env_name, seed = task.rsplit(":", 1)
+    seed = int(seed)
+    env = envs_mod.get_env(env_name)
+    cfg = mbd.recommended_config(env_name)
+
+    # reproduce plan()'s reset split so the MuJoCo rollout starts from the
+    # exact same state the planner optimized from
+    rng = jax.random.PRNGKey(seed)
+    _, rng_reset = jax.random.split(rng)
+    state_init = env.reset(rng_reset)
+    q0 = np.asarray(state_init.pipeline_state.q)
+    qd0 = np.asarray(state_init.pipeline_state.qd)
+
+    res = mbd.plan(env, cfg, jax.random.PRNGKey(seed), chunk_size=50)
+    us = np.asarray(res.Ybars[-1])
+
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "results", env_name)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "mu_0ts.npy"), np.asarray(res.Ybars))
+    np.save(os.path.join(out_dir, f"plan_seed{seed}.npy"), us)
+
+    # our own engine's reward for this exact plan (plan() may have selected a
+    # best-feasible iterate; final_reward corresponds to Ybars[-1] either way)
+    ours = float(res.final_reward)
+
+    xml = asset_path(XMLS[env_name])
+    qs_mj, qds_mj = mujoco_rollout(env, xml, q0, qd0, us)
+    mj = reward_from_qs(env, qs_mj, qds_mj, us, q0, qd0)
+
+    # context for interpreting the gap: open-loop plans across two different
+    # contact solvers diverge chaotically, so also record (a) the MuJoCo
+    # reward of doing nothing (the floor), and (b) how many env steps the
+    # two simulators track each other before q-space divergence
+    mj_zero = reward_from_qs(env, *mujoco_rollout(
+        env, xml, q0, qd0, np.zeros_like(us)), np.zeros_like(us), q0, qd0)
+
+    from mbd_tpu.rollout.fused import rollout_qs
+    import jax.numpy as jnp
+    qs_ours, _, _ = jax.jit(
+        lambda q, qd, u: rollout_qs(env.sys, env.n_frames, q, qd, u))(
+        jnp.asarray(q0, jnp.float32)[:, None],
+        jnp.asarray(qd0, jnp.float32)[:, None],
+        jnp.asarray(us, jnp.float32)[..., None])
+    dq = np.abs(np.asarray(qs_ours)[:, :, 0] - qs_mj).max(axis=1)
+    diverged = np.nonzero(dq > 0.1)[0]
+    diverge_step = int(diverged[0]) if diverged.size else len(us)
+
+    print(json.dumps({
+        "env": env_name, "seed": seed,
+        "reward_ours": ours, "reward_mujoco": mj,
+        "reward_mujoco_zero_ctrl": mj_zero,
+        "diverge_step": diverge_step, "horizon": len(us),
+        "backend": jax.default_backend(),
+        "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
+                       Ndiffuse=cfg.Ndiffuse, temp=cfg.temp_sample),
+    }), flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--envs", nargs="+", default=list(XMLS))
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--timeout", type=int, default=2400)
+    p.add_argument("--out", default="docs/RESULTS_CROSSSIM.json")
+    p.add_argument("--worker", default=None)
+    args = p.parse_args()
+
+    if args.worker:
+        worker(args.worker)
+        return
+
+    from mbd_tpu.utils import launcher
+
+    tasks = [f"{e}:{args.seed}" for e in args.envs]
+    records = launcher.run_tasks(
+        [sys.executable, os.path.abspath(__file__), "--worker", "{task}"],
+        tasks, timeout_sec=args.timeout, retries=1, jobs=1)
+
+    results = {}
+    for r in records:
+        if r.get("failed"):
+            results[r["task"].split(":")[0]] = {"failed": True}
+            continue
+        res = r["result"]
+        results[res["env"]] = {k: res[k] for k in
+                               ("seed", "reward_ours", "reward_mujoco",
+                                "reward_mujoco_zero_ctrl", "diverge_step",
+                                "horizon", "backend", "config")}
+        print(f"{res['env']}: ours={res['reward_ours']:.3f} "
+              f"mujoco={res['reward_mujoco']:.3f}", flush=True)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
