@@ -2,13 +2,21 @@
 
 Headline workload (BASELINE.md north star): the humanoidrun MBD denoise —
 Nsample × Hsample × n_frames physics substeps per diffusion step on the
-batch-last fused engine — measured as env-steps/sec/chip inside the denoise
-loop. vs_baseline = (10 s target / measured full-denoise wall time) at the
-north-star config (Ndiffuse=300, Nsample=1024, horizon 50); >1 beats the
-driver-set target. Falls back to the analytic car2d denoise if the physics
-path is unavailable.
+VMEM-resident Pallas engine — measured as env-steps/sec/chip inside the
+denoise loop. vs_baseline = (10 s target / measured full-denoise wall time)
+at the north-star config (Ndiffuse=300, Nsample=1024, horizon 50); >1 beats
+the driver-set target.
 
-Prints: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+The single JSON line also carries:
+  * flagship: the same denoise at the reference's recommended humanoidrun
+    Nsample=8192 (mbd_planner.py:54-60) — the actual production workload;
+  * flop_model: XLA cost-analysis FLOPs for one reverse step (from the
+    fused-engine program — identical physics math; Mosaic kernels are opaque
+    to the cost model), achieved TFLOP/s, and utilization vs both the VPU
+    f32 peak (this workload is elementwise/VPU-bound — no matmuls) and the
+    chip's bf16 MXU peak (the conventional MFU denominator).
+
+Failures are LOUD: an error JSON line + exit 1, never a silent fallback.
 """
 
 import json
@@ -20,24 +28,34 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# Peak FLOP/s per chip for utilization accounting. VPU: 8 sublanes × 128
+# lanes × 4 ALU sub-units × 2 (FMA) × ~0.94 GHz clock ≈ 7.7 Tf32/s; MXU
+# bf16: the published 197 Tbf16/s (TPU v5e / "v5 lite").
+_PEAKS = {"TPU v5 lite": {"vpu_f32": 7.7e12, "mxu_bf16": 197e12}}
 
-def _bench(env_name: str, cfg_kwargs: dict, engine, target_s, chunk: int):
-    from mbd_tpu import envs
+
+def _make_chunk_fn(env, cfg, engine):
     from mbd_tpu.core.schedule import make_schedule
     from mbd_tpu.planners import mbd
-
-    env = envs.get_env(env_name)
-    cfg = mbd.MBDConfig(**cfg_kwargs)
 
     rng = jax.random.PRNGKey(0)
     rng, rng_reset = jax.random.split(rng)
     state_init = env.reset(rng_reset)
     sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
-    reverse_once = mbd.make_reverse_once(
-        env, cfg, state_init, sched,
-        engine=engine or mbd.default_engine(env))
+    reverse_once = mbd.make_reverse_once(env, cfg, state_init, sched,
+                                         engine=engine)
+    return jax.jit(lambda c, s: jax.lax.scan(reverse_once, c, s))
 
-    chunk_fn = jax.jit(lambda c, s: jax.lax.scan(reverse_once, c, s))
+
+def _bench(env_name: str, cfg_kwargs: dict, engine, target_s, chunk: int):
+    from mbd_tpu import envs
+    from mbd_tpu.planners import mbd
+
+    env = envs.get_env(env_name)
+    cfg = mbd.MBDConfig(**cfg_kwargs)
+    engine = engine or mbd.default_engine(env)
+    chunk_fn = _make_chunk_fn(env, cfg, engine)
+
     steps = jnp.arange(cfg.Ndiffuse - 1, 0, -1)
     n = steps.shape[0]
     pad = (-n) % chunk
@@ -61,27 +79,69 @@ def _bench(env_name: str, cfg_kwargs: dict, engine, target_s, chunk: int):
     vs = (target_s / dt) if target_s else 0.0
     return {
         "metric": f"{env_name} MBD denoise env-steps/sec/chip "
-                  f"({engine or 'default'} engine; Nsample={cfg.Nsample}, "
+                  f"({engine} engine; Nsample={cfg.Nsample}, "
                   f"H={cfg.Hsample}, "
                   f"Ndiffuse={cfg.Ndiffuse}; full denoise wall={dt:.2f}s)",
         "value": round(n_env_steps / dt),
         "unit": "env-steps/sec",
         "vs_baseline": round(vs, 3),
+        "wall_s": round(dt, 3),
+        "env_steps": n_env_steps,
     }
 
 
+def _flop_model(env_name: str, cfg_kwargs: dict, chunk: int, wall_s: float,
+                n_steps: int):
+    """XLA cost-analysis FLOPs of one fused-engine reverse step, scaled to
+    the full denoise and divided by the measured (Pallas) wall time."""
+    from mbd_tpu import envs
+    from mbd_tpu.planners import mbd
+
+    env = envs.get_env(env_name)
+    cfg = mbd.MBDConfig(**cfg_kwargs)
+    chunk_fn = _make_chunk_fn(env, cfg, engine="fused")
+    carry = (jax.random.PRNGKey(1),
+             jnp.zeros((cfg.Hsample, env.action_size)))
+    steps = jnp.arange(cfg.Ndiffuse - 1, cfg.Ndiffuse - 1 - chunk, -1)
+    cost = chunk_fn.lower(carry, steps).compile().cost_analysis()
+    flops_per_step = float(cost.get("flops", 0.0)) / chunk
+    total = flops_per_step * n_steps
+    achieved = total / wall_s
+    kind = jax.devices()[0].device_kind
+    peaks = _PEAKS.get(kind, {})
+    out = {
+        "source": "XLA cost_analysis of the fused-engine reverse step "
+                  "(same physics math as the timed Pallas kernel)",
+        "device_kind": kind,
+        "flops_per_reverse_step": round(flops_per_step),
+        "achieved_tflops_per_s": round(achieved / 1e12, 3),
+    }
+    for name, peak in peaks.items():
+        out[f"utilization_vs_{name}_peak"] = round(achieved / peak, 4)
+    return out
+
+
 def main():
+    import traceback
+
+    north_cfg = dict(Nsample=1024, Hsample=50, Ndiffuse=300, temp_sample=0.1)
+    flag_cfg = dict(Nsample=8192, Hsample=50, Ndiffuse=300, temp_sample=0.1)
     try:
-        result = _bench(
-            "humanoidrun",
-            dict(Nsample=1024, Hsample=50, Ndiffuse=300, temp_sample=0.1),
-            engine="pallas", target_s=10.0, chunk=50)
-    except Exception:
-        result = _bench(
-            "car2d",
-            dict(Nsample=2048, Hsample=50, Ndiffuse=100, temp_sample=0.1,
-                 enable_demo=True),
-            engine="vmap", target_s=None, chunk=99)
+        result = _bench("humanoidrun", north_cfg, engine=None,
+                        target_s=10.0, chunk=50)
+        result["flagship_Nsample8192"] = _bench(
+            "humanoidrun", flag_cfg, engine=None, target_s=None, chunk=50)
+        result["flop_model"] = _flop_model(
+            "humanoidrun", north_cfg, chunk=50,
+            wall_s=result["wall_s"], n_steps=north_cfg["Ndiffuse"] - 1)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "ERROR: humanoidrun denoise bench failed",
+            "value": 0, "unit": "env-steps/sec", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+            "traceback": traceback.format_exc()[-2000:],
+        }))
+        raise SystemExit(1)
     print(json.dumps(result))
 
 

@@ -106,16 +106,13 @@ def run_single(args, render: bool = True) -> float:
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
 
-            fig, ax = plt.subplots(1, 1, figsize=(3, 3))
+            fig, ax = plt.subplots(1, 1, figsize=(4, 4))
             xs = np.concatenate(
                 [np.asarray(state_init.pipeline_state)[None],
                  np.asarray(states.pipeline_state)])
-            env.render(ax, xs)
-            if args.enable_demo:
-                ax.plot(np.asarray(env.xref[:, 0]),
-                        np.asarray(env.xref[:, 1]), "g--", label="RRT path")
-            ax.legend()
-            fig.savefig(os.path.join(path, "rollout.png"), dpi=120)
+            env.render(ax, xs, show_demo=args.enable_demo)
+            fig.savefig(os.path.join(path, "rollout.png"), dpi=120,
+                        bbox_inches="tight")
         else:
             from ..viz import html as vhtml
 
@@ -143,7 +140,10 @@ def run_multiple_seed(args) -> None:
 
 
 def run_multiple_temp(args) -> None:
-    """Temperature sweep (reference run_mbd.py:42-64)."""
+    """Temperature sweep (reference run_mbd.py:42-64), persisted to
+    docs/RESULTS_TEMP.json (keyed by env; merged, not clobbered)."""
+    import json
+
     temps = [0.01, 0.05, 0.1, 0.2, 0.4, 0.8]
     args.disable_recommended_params = True
     results = {}
@@ -154,6 +154,24 @@ def run_multiple_temp(args) -> None:
         print(f"temp {t}: rew={rew:.3f}", flush=True)
     best = max(results, key=results.get)
     print(f"best temp: {best} (rew={results[best]:.3f})")
+
+    out = os.path.join("docs", "RESULTS_TEMP.json")
+    table = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            table = json.load(f)
+    table[args.env_name] = {
+        "sweep": {str(t): float(r) for t, r in results.items()},
+        "best_temp": best,
+        "best_reward": float(results[best]),
+        "seed": args.seed,
+        "config": dict(Nsample=args.Nsample, Hsample=args.Hsample,
+                       Ndiffuse=args.Ndiffuse),
+    }
+    os.makedirs("docs", exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(table, f, indent=2)
+    print(f"wrote {out}")
 
 
 def main(argv=None):

@@ -63,8 +63,10 @@ class Ant(PhysicsEnv):
     def reward_qs_b(self, qs, qds, us, q0, qd0):
         """Batch-last fast path: free root → torso pos = q[0:3]; velocity
         from x displacement over env.dt."""
-        prev = q0[None, 0] if qs.shape[0] == 1 else \
-            jnp.concatenate([q0[None, 0], qs[:-1, 0]], axis=0)
+        # q0[0:1] not q0[None, 0]: the latter lowers to a >2-D gather, which
+        # Mosaic can't compile inside the Pallas rollout kernel
+        prev = q0[0:1] if qs.shape[0] == 1 else \
+            jnp.concatenate([q0[0:1], qs[:-1, 0]], axis=0)
         vel = (qs[:, 0] - prev) / self.dt
         healthy = jnp.where((qs[:, 2] >= 0.2) & (qs[:, 2] <= 1.0), 1.0, 0.0)
         ctrl_cost = 0.5 * (us ** 2).sum(1)

@@ -103,18 +103,27 @@ class Car2d(Env):
     def observation_size(self) -> int:
         return 3
 
-    def render(self, ax, xs):
-        import matplotlib.pyplot as plt
+    def render(self, ax, xs, show_demo: bool = True):
+        """Top-down scene plot: U-wall obstacles, start/goal, optional RRT
+        demo path, and the rollout colored by time."""
+        from matplotlib.collections import PatchCollection
+        from matplotlib.patches import Circle
 
-        for c in np.asarray(self.obs_center):
-            ax.add_artist(plt.Circle(c, self.obs_radius, color="k", fill=True,
-                                     alpha=0.5))
+        wall = PatchCollection(
+            [Circle(c, self.obs_radius) for c in np.asarray(self.obs_center)],
+            facecolor="0.35", edgecolor="none", zorder=1)
+        ax.add_collection(wall)
+        if show_demo:
+            ref = np.asarray(self.xref)
+            ax.plot(ref[:, 0], ref[:, 1], ls="--", lw=1.2, color="tab:blue",
+                    zorder=2, label="RRT demo")
         xs = np.asarray(xs)
-        ax.scatter(xs[:, 0], xs[:, 1], c=range(xs.shape[0]), cmap="Reds")
-        ax.plot(xs[:, 0], xs[:, 1], "r-", label="Car path")
-        ax.set_xlabel("x")
-        ax.set_ylabel("y")
-        ax.set_xlim(-2, 2)
-        ax.set_ylim(-2, 2)
-        ax.set_aspect("equal")
-        ax.grid(True)
+        pts = ax.scatter(xs[:, 0], xs[:, 1], c=np.arange(len(xs)),
+                         cmap="viridis", s=14, zorder=3, label="plan (t →)")
+        ax.plot(*np.asarray(self.x0[:2]), marker="s", color="tab:green",
+                ms=9, zorder=4, label="start")
+        ax.plot(*np.asarray(self.xg[:2]), marker="*", color="tab:red",
+                ms=14, zorder=4, label="goal")
+        ax.set(xlim=(-2, 2), ylim=(-2, 2), aspect="equal")
+        ax.legend(loc="lower right", fontsize=8)
+        return pts

@@ -51,7 +51,9 @@ class Halfcheetah(PhysicsEnv):
 
     def reward_qs_b(self, qs, qds, us, q0, qd0):
         """Batch-last fast path: torso x = q[0]."""
-        prev = q0[None, 0] if qs.shape[0] == 1 else \
-            jnp.concatenate([q0[None, 0], qs[:-1, 0]], axis=0)
+        # q0[0:1] not q0[None, 0]: the latter lowers to a >2-D gather, which
+        # Mosaic can't compile inside the Pallas rollout kernel
+        prev = q0[0:1] if qs.shape[0] == 1 else \
+            jnp.concatenate([q0[0:1], qs[:-1, 0]], axis=0)
         vel = (qs[:, 0] - prev) / self.dt
         return vel - 0.1 * (us ** 2).sum(1)

@@ -97,6 +97,8 @@ def main(argv=None):
                    help="multiply num_timesteps (for smoke runs)")
     p.add_argument("--results_dir", default="results")
     p.add_argument("--not_render", action="store_true")
+    p.add_argument("--out", default="docs/RESULTS_RL.json",
+                   help="persist learning curve + eval here ('' = skip)")
     args = p.parse_args(argv)
 
     import jax
@@ -146,6 +148,31 @@ def main(argv=None):
         rews.append(np.mean(ep))
     print(f"eval (8 seeds x {n_steps} steps): "
           f"{np.mean(rews):.3f} ± {np.std(rews):.3f}")
+
+    if args.out:
+        import json
+
+        record = {
+            "algo": "sac" if args.env_name in SAC_CONFIGS else "ppo",
+            "scale": args.scale,
+            "num_timesteps": hp["num_timesteps"],
+            "learning_curve": [
+                {"num_steps": h["num_steps"],
+                 "eval_reward": h["eval/episode_reward"]} for h in history],
+            "eval_mean": float(np.mean(rews)),
+            "eval_std": float(np.std(rews)),
+            "eval_protocol": f"8 seeds x {n_steps} steps, mean step reward",
+            "backend": jax.default_backend(),
+        }
+        table = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                table = json.load(f)
+        table[args.env_name] = record
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(table, f, indent=2)
+        print(f"wrote {args.out}")
 
     if not args.not_render and args.env_name != "car2d":
         from ..rollout import rollout_states

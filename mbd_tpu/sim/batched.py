@@ -581,7 +581,10 @@ def collide_b(sys: System, kin: KinB) -> List[ContactB]:
             c0, c1, c2 = quat_to_cols(qb)
             d = pa - pb
             pl = jnp.stack([dot3(c0, d), dot3(c1, d), dot3(c2, d)])
-            bs_c = constv(bs, (1,) * len(B), dtype)
+            # full batch shape, not [3,1,..,1]: Mosaic can't broadcast along
+            # sublanes and lanes at once inside the Pallas kernel (and a
+            # jnp.full is free — it never leaves VMEM)
+            bs_c = constv(bs, B, dtype)
             clamped = jnp.clip(pl, -bs_c, bs_c)
             delta = pl - clamped
             dist_out = jnp.sqrt(dot3(delta, delta))
@@ -590,10 +593,15 @@ def collide_b(sys: System, kin: KinB) -> List[ContactB]:
             depth_out = r - dist_out
             face_dist = bs_c - jnp.abs(pl)
             kmin = jnp.argmin(face_dist, axis=0)
-            sign = jnp.sign(jnp.take_along_axis(pl, kmin[None], 0)[0])
-            n_in = -sign * jnp.stack(
+            # one-hot mask-sum instead of take_along_axis: the axis is only
+            # 3 wide, and the batched gather take_along_axis lowers to is
+            # both slower on the VPU and unsupported by Mosaic (>2-D gather)
+            # inside the Pallas rollout kernel
+            onehot = jnp.stack(
                 [jnp.where(kmin == a, 1.0, 0.0) for a in range(3)])
-            depth_in = r + jnp.take_along_axis(face_dist, kmin[None], 0)[0]
+            sign = jnp.sign((pl * onehot).sum(axis=0))
+            n_in = -sign * onehot
+            depth_in = r + (face_dist * onehot).sum(axis=0)
             n_local = jnp.where(outside, n_out, n_in)
             depth = jnp.where(outside, depth_out, depth_in)
             surf = jnp.where(outside, clamped, pl)

@@ -33,8 +33,16 @@ def worker(task: str, engine: str):
 
     env_name, seed = task.rsplit(":", 1)
     seed = int(seed)
-    env = envs_mod.get_env(env_name)
-    cfg = mbd.recommended_config(env_name)
+    # "<env>+demo" rows run demo-conditioned diffusion (reference
+    # mbd_planner.py:117-125) and additionally score the final plan's
+    # demo-tracking log-density
+    demo = env_name.endswith("+demo")
+    base_name = env_name[:-len("+demo")] if demo else env_name
+    env = envs_mod.get_env(base_name)
+    cfg = mbd.recommended_config(base_name)
+    if demo:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, enable_demo=True)
     t0 = time.time()
     res = mbd.plan(env, cfg, jax.random.PRNGKey(seed), chunk_size=50,
                    engine=engine or None)
@@ -44,8 +52,16 @@ def worker(task: str, engine: str):
         "wall_s": round(time.time() - t0, 1),
         "backend": jax.default_backend(),
         "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
-                       Ndiffuse=cfg.Ndiffuse, temp=cfg.temp_sample),
+                       Ndiffuse=cfg.Ndiffuse, temp=cfg.temp_sample,
+                       enable_demo=demo),
     }
+    if demo:
+        from mbd_tpu.rollout import rollout_us
+
+        rng_reset = jax.random.split(jax.random.PRNGKey(seed))[1]
+        st = env.reset(rng_reset)
+        _, states = rollout_us(jax.jit(env.step), st, res.Ybars[-1])
+        out["xref_logpd"] = float(env.eval_xref_logpd(states))
     print(json.dumps(out), flush=True)
 
 
@@ -94,9 +110,21 @@ def main():
             "n_seeds": len(rews),
             "config": cfgs[0],
         }
+        logpds = [r["result"]["xref_logpd"] for r in records
+                  if not r.get("failed") and r["result"]["env"] == e
+                  and "xref_logpd" in r["result"]]
+        if logpds:
+            results[e]["xref_logpd_mean"] = float(np.mean(logpds))
+            results[e]["xref_logpd_std"] = float(np.std(logpds))
         print(f"{e}: {np.mean(rews):.3f} ± {np.std(rews):.3f} "
               f"({np.mean(walls):.0f}s)", flush=True)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # merge into any existing table so partial sweeps don't clobber rows
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {args.out}")
