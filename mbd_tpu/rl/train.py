@@ -95,6 +95,9 @@ def main(argv=None):
     p.add_argument("--env_name", default="ant")
     p.add_argument("--scale", type=float, default=1.0,
                    help="multiply num_timesteps (for smoke runs)")
+    p.add_argument("--num_evals", type=int, default=0,
+                   help="override eval count (0 = scale the reference's); "
+                        "scaled runs want this to keep a multi-point curve")
     p.add_argument("--results_dir", default="results")
     p.add_argument("--not_render", action="store_true")
     p.add_argument("--out", default="docs/RESULTS_RL.json",
@@ -111,13 +114,15 @@ def main(argv=None):
         hp = dict(SAC_CONFIGS[args.env_name])
         hp["num_timesteps"] = max(int(hp["num_timesteps"] * args.scale),
                                   hp["min_replay_size"] * 2)
-        hp["num_evals"] = max(1, int(hp["num_evals"] * args.scale))
+        hp["num_evals"] = args.num_evals or max(
+            1, int(hp["num_evals"] * args.scale))
         cfg = sac.SACConfig(**hp)
         trainer = sac.train
     elif args.env_name in PPO_CONFIGS:
         hp = dict(PPO_CONFIGS[args.env_name])
         hp["num_timesteps"] = int(hp["num_timesteps"] * args.scale)
-        hp["num_evals"] = max(1, int(hp["num_evals"] * args.scale))
+        hp["num_evals"] = args.num_evals or max(
+            1, int(hp["num_evals"] * args.scale))
         cfg = ppo.PPOConfig(**hp)
         trainer = ppo.train
     else:

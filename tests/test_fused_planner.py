@@ -22,6 +22,35 @@ def test_mbd_fused_matches_vmap_on_hopper():
 
 
 @pytest.mark.slow
+def test_mbd_engine_parity_distributional_on_hopper():
+    """Distributional engine-parity check (round-1 verdict, Weak #5): the
+    per-step trace comparisons above tolerate chaos by loosening atol, which
+    would miss a systematic reward drift between engines. Here we run full
+    (small) denoises over several seeds per engine and require the seed-mean
+    final rewards to agree within the pooled across-seed noise — a drifted
+    engine (wrong contact impulse, broken reward fast-path) fails this even
+    when every individual trajectory is chaotic."""
+    env = envs.get_env("hopper")
+    cfg = mbd.MBDConfig(Nsample=64, Hsample=25, Ndiffuse=30, temp_sample=0.1)
+    seeds = range(4)
+    finals = {}
+    for engine in ("vmap", "fused"):
+        finals[engine] = np.array([
+            float(mbd.plan(env, cfg, jax.random.PRNGKey(s),
+                           engine=engine).final_reward)
+            for s in seeds])
+    mv, mf = finals["vmap"].mean(), finals["fused"].mean()
+    pooled = float(np.sqrt((finals["vmap"].var() + finals["fused"].var())
+                           / len(finals["vmap"])))
+    # 3σ of the seed-mean difference, floored well above f32 noise
+    assert abs(mv - mf) < max(3.0 * pooled * np.sqrt(2.0), 0.3), (
+        f"engine drift: vmap {mv:.3f}±{finals['vmap'].std():.3f} vs "
+        f"fused {mf:.3f}±{finals['fused'].std():.3f}")
+    # both engines must actually solve the task at this scale
+    assert mv > 0.5 and mf > 0.5
+
+
+@pytest.mark.slow
 def test_path_integral_fused_matches_vmap_on_hopper():
     env = envs.get_env("hopper")
     cfg = path_integral.PathIntegralConfig(
