@@ -56,12 +56,23 @@ def worker(task: str, engine: str):
                        enable_demo=demo),
     }
     if demo:
-        from mbd_tpu.rollout import rollout_us
-
         rng_reset = jax.random.split(jax.random.PRNGKey(seed))[1]
         st = env.reset(rng_reset)
-        _, states = rollout_us(jax.jit(env.step), st, res.Ybars[-1])
-        out["xref_logpd"] = float(env.eval_xref_logpd(states))
+        if hasattr(env, "traj_xref_logpd"):
+            # score with the same batch engine the plan was made with — the
+            # vmap single-rollout path has a different f32 contraction order
+            # and can diverge (→ NaN logpd) on plans the fused engine
+            # integrates fine (see mbd.plan's final-eval note)
+            from mbd_tpu.rollout.fused import rollout_rewards
+
+            _, qs, _ = jax.jit(lambda s, y: rollout_rewards(
+                env, s, y, need_states=True))(st, res.Ybars[-1][None])
+            out["xref_logpd"] = float(env.traj_xref_logpd(qs)[0])
+        else:
+            from mbd_tpu.rollout import rollout_us
+
+            _, states = rollout_us(jax.jit(env.step), st, res.Ybars[-1])
+            out["xref_logpd"] = float(env.eval_xref_logpd(states))
     print(json.dumps(out), flush=True)
 
 
