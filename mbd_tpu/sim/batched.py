@@ -616,12 +616,21 @@ def collide_b(sys: System, kin: KinB) -> List[ContactB]:
 
 def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
                    cons: List[ContactB], fac: LDL,
-                   qfrc: List[Arr], h: float) -> List[Arr]:
-    """Accumulate penalty contact forces into qfrc (list of [B] per dof)."""
+                   rhs: List[Arr], h: float) -> List[Arr]:
+    """Accumulate contact forces into the net-force list ``rhs``
+    (= qfrc − bias − damping·qd, list of [B] per dof).
+
+    The impulse cap is computed against the PRE-contact ``rhs`` snapshot
+    (Jacobi — all contacts see the same prediction), matching
+    sim/contact.py's batched formulation so the engines stay in parity.
+    """
+    from .contact import BAUMGARTE_BETA, V_PUSH_MAX
+
     tc = topo(sys)
     k = float(np.asarray(sys.contact_stiffness))
     bdamp = float(np.asarray(sys.contact_damping))
     eps = float(np.asarray(sys.friction_vel_tol))
+    rhs_pre = list(rhs)
 
     for con in cons:
         dofs_b = tc.ancdof_body[con.body_b]
@@ -648,8 +657,8 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
             S = kin.S[i]
             Jn[i] = sgn[i] * (S[0] * pxn[0] + S[1] * pxn[1] + S[2] * pxn[2]
                               + S[3] * n[0] + S[4] * n[1] + S[5] * n[2])
-        rhs = [Jn.get(i) for i in range(sys.nv)]
-        MinvJ = ldl_solve(fac, rhs)
+        jn_rows = [Jn.get(i) for i in range(sys.nv)]
+        MinvJ = ldl_solve(fac, jn_rows)
         jmj = None
         for i in dofs:
             t = Jn[i] * MinvJ[i]
@@ -657,21 +666,32 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
         m_eff = 1.0 / (jmj + 1e-8)
 
         active = con.depth > 0.0
-        # impulse cap: one substep may at most cancel the incoming normal
-        # velocity (plus the k·φ pushout) — prevents explicit-Euler energy
-        # injection on fast impacts
+        # impulse cap against the predicted normal velocity (constants +
+        # rationale: sim/contact.py): the contact may cancel the approach
+        # velocity this substep's forces would produce, plus a bounded
+        # Baumgarte pushout — never inject bounce energy. vn_pred uses
+        # J M̃⁻¹ rhs_pre = (M̃⁻¹Jᵀ)·rhs_pre (MinvJ already solved above).
         a_ref = jnp.maximum(k * con.depth - bdamp * vn, 0.0)
-        a_cap = jnp.maximum(-vn, 0.0) / h + k * jnp.maximum(con.depth, 0.0)
+        jacc = None
+        for i in range(sys.nv):
+            if MinvJ[i] is None:     # sparse solve keeps untouched dofs None
+                continue
+            t = MinvJ[i] * rhs_pre[i]
+            jacc = t if jacc is None else jacc + t
+        vn_pred = vn + h * jacc
+        v_bias = jnp.minimum(
+            BAUMGARTE_BETA * jnp.maximum(con.depth, 0.0) / h, V_PUSH_MAX)
+        a_cap = jnp.maximum(v_bias - vn_pred, 0.0) / h
         fn = m_eff * jnp.minimum(a_ref, a_cap) * active
         t_dir = vt / jnp.sqrt(dot3(vt, vt) + eps * eps)
         F = fn * n - con.mu * fn * t_dir
         pxF = cross(p, F)
         for i in dofs:
             S = kin.S[i]
-            qfrc[i] = qfrc[i] + sgn[i] * (
+            rhs[i] = rhs[i] + sgn[i] * (
                 S[0] * pxF[0] + S[1] * pxF[1] + S[2] * pxF[2]
                 + S[3] * F[0] + S[4] * F[1] + S[5] * F[2])
-    return qfrc
+    return rhs
 
 
 # ---------------------------------------------------------------------------
@@ -743,18 +763,22 @@ def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr):
             below, above = lim_below[dadr], lim_above[dadr]
             m_eff = float(meff_rest[dadr])
             a_ref = k_lim * (below - above)
-            # impulse cap: see sim/contact.py
-            cap_pos = jnp.maximum(-qd[dadr], 0.0) / h + k_lim * below
-            cap_neg = -(jnp.maximum(qd[dadr], 0.0) / h + k_lim * above)
+            # impulse cap with bounded pushout (see sim/contact.py): the
+            # limit spring may cancel the violating velocity but add at most
+            # V_PUSH_MAX outgoing — same anti-trampoline rule as contacts
+            from .contact import V_PUSH_MAX
+            cap_pos = jnp.maximum(-qd[dadr], 0.0) / h + jnp.minimum(
+                k_lim * below, V_PUSH_MAX / h)
+            cap_neg = -(jnp.maximum(qd[dadr], 0.0) / h + jnp.minimum(
+                k_lim * above, V_PUSH_MAX / h))
             a_ref = jnp.clip(a_ref, cap_neg, cap_pos)
             qfrc[dadr] = qfrc[dadr] + m_eff * a_ref
 
-    if sys.contact_pairs:
-        cons = collide_b(sys, kin)
-        qfrc = contact_qfrc_b(sys, kin, v_b, cons, fac, qfrc, h)
-
     rhs = [qfrc[i] - bias[i] - float(damping[i]) * qd[i]
            for i in range(sys.nv)]
+    if sys.contact_pairs:
+        cons = collide_b(sys, kin)
+        rhs = contact_qfrc_b(sys, kin, v_b, cons, fac, rhs, h)
     qacc = ldl_solve(fac, rhs)
 
     qd_new = jnp.stack([qd[i] + h * qacc[i] for i in range(sys.nv)])

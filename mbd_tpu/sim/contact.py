@@ -21,9 +21,24 @@ from .collision import Contacts
 from .kinematics import Kin
 from .system import System
 
+# Impulse-cap constants (shared by sim/batched.py so all engines agree).
+# The cap bounds the post-substep OUTGOING normal velocity of the contact
+# point: the impulse may cancel the predicted approach velocity (vn_pred,
+# which includes this substep's gravity/actuation/bias work) plus at most a
+# small Baumgarte depenetration bias v_bias = min(β·φ/h, V_PUSH_MAX).
+# Without the bound, the k·φ spring pushout under explicit Euler acts as a
+# trampoline: on a cyclic gait it returns more energy than was stored, and
+# the planner finds it (a humanoidrun plan reached 27 m/s mean torso speed
+# with 6 m ballistic arcs — docs/HUMANOIDRUN_PLAUSIBILITY.json, pre-fix).
+# Statics are untouched: a resting foot has vn_pred = -g-scale·h, so the cap
+# allows exactly the support force an LCP would give, and the spring
+# reference a_ref still sets the resting penetration depth.
+BAUMGARTE_BETA = 0.2
+V_PUSH_MAX = 0.2     # m/s — max depenetration velocity a contact may add
+
 
 def contact_force(sys: System, kin: Kin, v_b: jnp.ndarray, con: Contacts,
-                  Minv: jnp.ndarray) -> jnp.ndarray:
+                  Minv: jnp.ndarray, rhs_pre: jnp.ndarray) -> jnp.ndarray:
     """(nv,) generalized contact force.
 
     For each contact (point p, normal n A→B, depth φ):
@@ -61,12 +76,16 @@ def contact_force(sys: System, kin: Kin, v_b: jnp.ndarray, con: Contacts,
     m_eff = 1.0 / (jnp.einsum("ci,ij,cj->c", Jn, Minv, Jn) + 1e-8)
 
     active = phi > 0.0
-    # impulse cap: one substep may at most cancel the incoming normal
-    # velocity (plus the k·φ pushout) — prevents explicit-Euler energy
-    # injection on fast impacts
+    # impulse cap against the PREDICTED normal velocity (see constants note
+    # above): vn_pred folds in the work this substep's non-contact forces do,
+    # so stance support passes through while bounce energy is clipped
     h = sys.dt
     a_ref = jnp.maximum(k * phi - b * vn, 0.0)
-    a_cap = jnp.maximum(-vn, 0.0) / h + k * jnp.maximum(phi, 0.0)
+    qacc_pre = Minv @ rhs_pre                               # (nv,)
+    vn_pred = vn + h * (Jn @ qacc_pre)                      # (ncon,)
+    v_bias = jnp.minimum(BAUMGARTE_BETA * jnp.maximum(phi, 0.0) / h,
+                         V_PUSH_MAX)
+    a_cap = jnp.maximum(v_bias - vn_pred, 0.0) / h
     fn = m_eff * jnp.minimum(a_ref, a_cap) * active
 
     t_dir = vt / jnp.sqrt(

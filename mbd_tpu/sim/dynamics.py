@@ -139,11 +139,15 @@ def limit_force(sys: System, q: jnp.ndarray,
     # matrix (see limit_implicit_damping / pipeline._substep): explicit
     # velocity damping with an approximate m_eff violates h·b_eff < 2.
     a_ref = sys.limit_stiffness * (below - above)
-    # impulse cap (see sim/contact.py): at most stop the violating velocity
-    # and push out at the k·violation rate within one substep
+    # impulse cap with bounded pushout (see sim/contact.py): at most stop
+    # the violating velocity and add V_PUSH_MAX of outgoing velocity — the
+    # unbounded k·violation pushout was an energy trampoline
+    from .contact import V_PUSH_MAX
     h = sys.dt
-    cap_pos = jnp.maximum(-qdj, 0.0) / h + sys.limit_stiffness * below
-    cap_neg = -(jnp.maximum(qdj, 0.0) / h + sys.limit_stiffness * above)
+    cap_pos = jnp.maximum(-qdj, 0.0) / h + jnp.minimum(
+        sys.limit_stiffness * below, V_PUSH_MAX / h)
+    cap_neg = -(jnp.maximum(qdj, 0.0) / h + jnp.minimum(
+        sys.limit_stiffness * above, V_PUSH_MAX / h))
     a_ref = jnp.clip(a_ref, cap_neg, cap_pos)
     return jnp.zeros(sys.nv, q.dtype).at[dadr].set(m_eff * a_ref)
 

@@ -123,12 +123,12 @@ def _substep(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
     tau = tau + dynamics.passive_force(sys, q, qd)
     tau = tau + dynamics.limit_force(sys, q, qd)
 
+    rhs = tau - qfrc_bias - sys.dof_damping * qd
     if sys.contact_pairs:
         gpos, gquat = kinematics.geom_poses(sys, kin)
         con = collision.collide(sys, gpos, gquat)
-        tau = tau + contact.contact_force(sys, kin, v_b, con, Minv)
-
-    rhs = tau - qfrc_bias - sys.dof_damping * qd
+        # rhs (pre-contact) feeds the predicted-velocity impulse cap
+        rhs = rhs + contact.contact_force(sys, kin, v_b, con, Minv, rhs)
     qacc = Minv @ rhs
 
     qd_new = qd + h * qacc
