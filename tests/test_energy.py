@@ -1,0 +1,101 @@
+"""Energy-conservation regression tests (the anti-trampoline contract).
+
+Locks the fix in sim/contact.py / sim/batched.py: contacts and joint limits
+may store or dissipate mechanical energy but never inject it (docs/
+ENERGY_AUDIT.md). Uses hopper — the cheapest contact scene — and checks the
+same defect the audit tool tracks:
+
+    defect(t) = [KE + PE](t) − [KE + PE](0) − W_actuators(t) + W_damping(t)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbd_tpu import envs
+from mbd_tpu.sim import dynamics, kinematics
+from mbd_tpu.sim import pipeline as P
+
+
+def _audit(env, us, seed=0):
+    sys_ = env.sys
+    rng_reset = jax.random.split(jax.random.PRNGKey(seed))[1]
+    st = env.reset(rng_reset)
+    q = jnp.asarray(st.pipeline_state.q)
+    qd = jnp.asarray(st.pipeline_state.qd)
+    g = 9.81
+    damping = np.asarray(sys_.dof_damping)
+
+    def energies(q, qd):
+        kin = kinematics.fk(sys_, q)
+        M, _, _, _ = dynamics.smooth_terms(sys_, kin, qd)
+        ke = 0.5 * qd @ (M @ qd)
+        pe = (sys_.body_mass[1:] * g * kin.xpos[1:, 2]).sum()
+        return float(ke), float(pe)
+
+    substep = jax.jit(lambda q, qd, u: P._substep(sys_, q, qd, u))
+    act = jax.jit(lambda u: dynamics.actuator_force(sys_, u))
+    h = float(np.asarray(sys_.dt))
+    e0 = sum(energies(q, qd))
+    W = Wd = 0.0
+    defects, qd_peaks = [], []
+    for t in range(us.shape[0]):
+        u = jnp.asarray(us[t], jnp.float32)
+        tau = act(u)
+        for _ in range(env.n_frames):
+            qd_prev = qd
+            q, qd = substep(q, qd, u)
+            qd_mid = 0.5 * (qd_prev + qd)
+            W += float(tau @ qd_mid) * h
+            Wd += float((damping * np.asarray(qd_mid) ** 2).sum()) * h
+        defects.append(sum(energies(q, qd)) - e0 - W + Wd)
+        qd_peaks.append(float(jnp.abs(qd).max()))
+    return np.asarray(defects), np.asarray(qd_peaks), (q, qd)
+
+
+@pytest.mark.slow
+def test_zero_ctrl_drop_is_dissipative():
+    env = envs.get_env("hopper")
+    us = np.zeros((25, env.action_size))
+    defects, _, _ = _audit(env, us)
+    # small positive slack for integrator/trapezoid error on the drop impact
+    assert defects.max() < 1.0, f"energy injected: defect {defects.max():.2f}"
+    # the collapse must actually dissipate by the end
+    assert defects[-1] < 0.0
+
+
+@pytest.mark.slow
+def test_bangbang_ctrl_is_dissipative():
+    """Full-torque excitation: all motion must be paid for by actuator work."""
+    env = envs.get_env("hopper")
+    H, nu = 25, env.action_size
+    us = np.sign(np.sin(np.arange(H)[:, None] * 0.7
+                        + np.arange(nu)[None] * 1.3))
+    defects, _, _ = _audit(env, us)
+    assert defects.max() < 1.0, f"energy injected: defect {defects.max():.2f}"
+
+
+@pytest.mark.slow
+def test_contact_bounce_bounded():
+    """A body slammed into the plane may leave the impact with at most the
+    bounded Baumgarte pushout velocity (V_PUSH_MAX), never a trampoline kick."""
+    from mbd_tpu.sim.contact import V_PUSH_MAX
+
+    env = envs.get_env("hopper")
+    rng_reset = jax.random.split(jax.random.PRNGKey(0))[1]
+    st = env.reset(rng_reset)
+    q = jnp.asarray(st.pipeline_state.q)
+    qd = jnp.asarray(st.pipeline_state.qd).at[1].set(-3.0)  # slam root-z down
+    sys_ = env.sys
+    substep = jax.jit(lambda q, qd: P._substep(sys_, q, qd,
+                                               jnp.zeros(env.action_size)))
+    vz_after_impact = []
+    for _ in range(120):   # 0.24 s — through impact and rebound
+        q, qd = substep(q, qd)
+        vz_after_impact.append(float(qd[1]))
+    # rebound velocity of the root: bounded by pushout + pendulum slack (the
+    # unactuated leg can convert a little rotational energy back), far below
+    # the -3 m/s a trampoline would return
+    assert max(vz_after_impact) < max(3.0 * V_PUSH_MAX, 0.75), (
+        f"bounce {max(vz_after_impact):.2f} m/s from a 3 m/s slam")
