@@ -90,7 +90,8 @@ class Car2d(Env):
 
     def eval_xref_logpd(self, xs: jnp.ndarray) -> jnp.ndarray:
         """Tracking log-density surrogate over a rollout xs of shape (H, 3)."""
-        err = jnp.linalg.norm(xs[:, :2] - self.xref[:, :2], axis=-1)
+        err = jnp.linalg.norm(
+            xs[:, :2] - self.xref[:xs.shape[0], :2], axis=-1)
         return -((jnp.clip(err, 0.0, 0.5) / 0.5) ** 2).mean(axis=-1)
 
     # -- sizes & rendering --------------------------------------------------

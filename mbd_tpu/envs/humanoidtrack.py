@@ -31,8 +31,8 @@ class HumanoidTrack(PhysicsEnv):
         sys = load_mjcf(asset_path("humanoidtrack.xml"))
         super().__init__(sys, n_frames=5)
         self.H = 50
-        self.track_body_idx = jnp.array(
-            [sys.link_names.index(n) for n in TRACK_BODIES])
+        self._track_idx_py = [sys.link_names.index(n) for n in TRACK_BODIES]
+        self.track_body_idx = jnp.array(self._track_idx_py)
         self.ref_body_idx = jnp.array(
             [sys.link_names.index(n + "_ref") for n in TRACK_BODIES])
         demo = np.load(asset_path(f"{mode}_xref.npz"))
@@ -95,15 +95,47 @@ class HumanoidTrack(PhysicsEnv):
         """Demo tracking log-density per sample: [B] from [H, B, ...]."""
         xs = ps_stack.x.pos[:, :, self.track_body_idx]   # [H, B, 5, 3]
         err = jnp.linalg.norm(
-            xs - self.xref.transpose(1, 0, 2)[:, None], axis=-1)
+            xs - self.xref.transpose(1, 0, 2)[:xs.shape[0], None], axis=-1)
         return -((jnp.clip(err, 0.0, 0.5) / 0.5) ** 2).mean(axis=(0, 2))
 
     def eval_xref_logpd(self, pipeline_states) -> jax.Array:
         """Demo tracking log-density over a stacked rollout (H leading)."""
         xs = pipeline_states.x.pos[:, self.track_body_idx].transpose(1, 0, 2)
-        err = jnp.linalg.norm(xs - self.xref, axis=-1)
+        err = jnp.linalg.norm(xs - self.xref[:, :xs.shape[1]], axis=-1)
         return -((jnp.clip(err, 0.0, 0.5) / 0.5) ** 2).mean()
 
+    def traj_xref_logpd_qs(self, qs) -> jax.Array:
+        """Demo tracking log-density straight from a batch-last position
+        trace qs [H, nq, *B] → [*B]: one folded FK pass over the 5 tracked
+        bodies' positions instead of materializing full link states — this
+        lets the VMEM-resident Pallas engine (which emits only q) serve the
+        demo branch (reference mbd_planner.py:117-125)."""
+        from ..sim import batched as BT
+
+        H = qs.shape[0]
+        B = qs.shape[2:]
+        nq = self.sys.nq
+        # fold H into the trailing batch: [nq, *B, H] → [nq, prod(B)*H]
+        q_flat = jnp.moveaxis(qs, 0, -1).reshape(nq, -1)
+        kin = BT.fk_b(self.sys, q_flat)
+        # kin.xpos[0] is the world body; link j of x.pos is kin.xpos[j+1]
+        xs = jnp.stack([kin.xpos[j + 1] for j in self._track_idx_py])
+        nb = int(np.prod(B)) if B else 1
+        xs = xs.reshape(len(TRACK_BODIES), 3, nb, H)      # [5, 3, B, H]
+        xs = jnp.transpose(xs, (0, 2, 3, 1))              # [5, B, H, 3]
+        err = jnp.linalg.norm(xs - self.xref[:, None, :H], axis=-1)
+        logpd = -((jnp.clip(err, 0.0, 0.5) / 0.5) ** 2).mean(axis=(0, 2))
+        return logpd.reshape(B)
+
+
+    def track_xpos_b(self, q) -> jax.Array:
+        """Tracked-body world positions from batch-last q [nq, *B] →
+        [5, 3, *B] (one FK pass; used by the Pallas kernel's in-kernel
+        demo scoring)."""
+        from ..sim import batched as BT
+
+        kin = BT.fk_b(self.sys, q)
+        return jnp.stack([kin.xpos[j + 1] for j in self._track_idx_py])
 
     def reward_qs_b(self, qs, qds, us, q0, qd0):
         """Batch-last fast path: the reference computes step-t reward from

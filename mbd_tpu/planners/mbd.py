@@ -106,10 +106,12 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
     (sim/batched.py via rollout/fused.py) where the sample axis lives on
     TPU lanes; "pallas" runs the whole rollout VMEM-resident
     (ops/rollout_pallas.py — fastest single-chip path; demo conditioning
-    falls back to "fused" which materializes link states).
+    streams the q-trace out of the kernel and scores tracking with one
+    folded FK pass via ``env.traj_xref_logpd_qs``).
     """
     nu = env.action_size
-    if engine == "pallas" and cfg.enable_demo:
+    if (engine == "pallas" and cfg.enable_demo
+            and not hasattr(env, "track_xpos_b")):
         engine = "fused"
     shard = sample_sharding(mesh) if mesh is not None else None
 
@@ -119,6 +121,10 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
             from ..ops.rollout_pallas import rollout_rewards_pallas
         n_loc = (cfg.Nsample // mesh.devices.size if mesh is not None
                  else cfg.Nsample)
+        # demo runs stream the q-trace out of the kernel too (an extra
+        # H·nq·b_tile·4 B VMEM block ≈ 6 MB at the default tile — still
+        # inside the ~16 MB budget; Mosaic requires the lane dim be a
+        # multiple of 128 or the whole array, so the tile is not shrunk)
         b_tile = min(1024, ((n_loc + 7) // 8) * 8)
 
         def _eval_local(Y0s_):
@@ -126,9 +132,13 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
             [n, H, nu] → (mean reward [n], diverged flag [n], demo
             log-density [n] — zeros when demo is off)."""
             if engine == "pallas":
-                rewss, bad = rollout_rewards_pallas(env, state_init, Y0s_,
-                                                    b_tile=b_tile)
-                logpd = jnp.zeros(rewss.shape[0])
+                if cfg.enable_demo:
+                    rewss, bad, logpd = rollout_rewards_pallas(
+                        env, state_init, Y0s_, b_tile=b_tile, demo=True)
+                else:
+                    rewss, bad = rollout_rewards_pallas(
+                        env, state_init, Y0s_, b_tile=b_tile)
+                    logpd = jnp.zeros(rewss.shape[0])
             else:
                 rewss, qs, bad = rollout_rewards(
                     env, state_init, Y0s_,
@@ -211,6 +221,208 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
         return (rng, Ybar_im1), (Ybar_im1, rews.mean())
 
     return reverse_once
+
+
+def make_reverse_once_batch(env, cfg: MBDConfig, states_init, sched,
+                            n_seeds: int, engine: str = "vmap") -> Callable:
+    """Seed-batched reverse update: S independent denoises in one program.
+
+    The reference runs its 8-seed acceptance harness serially
+    (mbd/scripts/run_mbd.py:17-39); on TPU the seeds ride the same sample
+    axis — the engines roll out S·Nsample trajectories per step (each seed's
+    samples start from that seed's own reset state) and every reduction
+    (standardize / demo fusion / softmax / barycenter) is per-seed.
+
+    carry = (rngs [S] keys, Ybar_i [S, H, nu]); x = step index.
+    ``states_init``: a State pytree with leading seed axis (vmap(env.reset)).
+    """
+    from types import SimpleNamespace
+
+    nu = env.action_size
+    S, N = n_seeds, cfg.Nsample
+    if (engine == "pallas" and cfg.enable_demo
+            and not hasattr(env, "track_xpos_b")):
+        engine = "fused"
+
+    if engine in ("fused", "pallas"):
+        from ..rollout.fused import rollout_rewards
+        if engine == "pallas":
+            from ..ops.rollout_pallas import rollout_rewards_pallas
+        b_tile = min(1024, ((S * N + 7) // 8) * 8)
+        # per-sample initial states: seed-major [nq, S*N] (sample s*N+n
+        # starts from seed s's reset state)
+        q0 = jnp.repeat(states_init.pipeline_state.q.T, N, axis=1)
+        qd0 = jnp.repeat(states_init.pipeline_state.qd.T, N, axis=1)
+        shim = SimpleNamespace(
+            pipeline_state=SimpleNamespace(q=q0, qd=qd0))
+
+        def eval_samples(Y0s):                      # [S, N, H, nu]
+            flat = Y0s.reshape(S * N, cfg.Hsample, nu)
+            if engine == "pallas":
+                if cfg.enable_demo:
+                    rewss, bad, logpd = rollout_rewards_pallas(
+                        env, shim, flat, b_tile=b_tile, demo=True)
+                    logpd = logpd.reshape(S, N)
+                else:
+                    rewss, bad = rollout_rewards_pallas(env, shim, flat,
+                                                        b_tile=b_tile)
+                    logpd = jnp.zeros((S, N))
+            else:
+                rewss, ps, bad = rollout_rewards(
+                    env, shim, flat, need_states=cfg.enable_demo or None)
+                logpd = (env.traj_xref_logpd(ps).reshape(S, N)
+                         if cfg.enable_demo else jnp.zeros((S, N)))
+            return (rewss.mean(axis=-1).reshape(S, N),
+                    bad.reshape(S, N), logpd)
+    else:
+        batch_rollout = jax.vmap(
+            jax.vmap(functools.partial(rollout_us, env.step),
+                     in_axes=(None, 0)),
+            in_axes=(0, 0))
+
+        def eval_samples(Y0s):
+            rewss, qs = batch_rollout(states_init, Y0s)
+            logpd = (jax.vmap(jax.vmap(env.eval_xref_logpd))(qs)
+                     if cfg.enable_demo else jnp.zeros((S, N)))
+            return rewss.mean(axis=-1), None, logpd
+
+    def reverse_once(carry, i):
+        rngs, Ybar_i = carry                        # [S, 2], [S, H, nu]
+        abar = sched.alphas_bar[i]
+        Yi = Ybar_i * jnp.sqrt(abar)
+
+        split = jax.vmap(jax.random.split)(rngs)    # [S, 2, 2]
+        rngs_next, keys = split[:, 0], split[:, 1]
+        eps = jax.vmap(lambda k: jax.random.normal(
+            k, (N, cfg.Hsample, nu)))(keys)
+        Y0s = jnp.clip(eps * sched.sigmas[i] + Ybar_i[:, None], -1.0, 1.0)
+
+        rews, diverged, xref_logpds = eval_samples(Y0s)
+        valid = jnp.isfinite(rews)
+        if diverged is not None:
+            valid = valid & (diverged == 0)
+        worst = jnp.min(jnp.where(valid, rews, jnp.inf), axis=1,
+                        keepdims=True)
+        worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
+        rews = jnp.where(valid, rews, worst)
+        rew_mean = rews.mean(axis=1, keepdims=True)
+        rew_std = rews.std(axis=1, keepdims=True)
+        rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)
+        logp0 = (rews - rew_mean) / rew_std / cfg.temp_sample
+
+        if cfg.enable_demo:
+            xref_logpds = xref_logpds - xref_logpds.max(axis=1,
+                                                        keepdims=True)
+            logpdemo = (xref_logpds + env.rew_xref - rew_mean) / rew_std \
+                / cfg.temp_sample
+            logp0 = jnp.where(logpdemo > logp0, logpdemo, logp0)
+            logp0 = ((logp0 - logp0.mean(axis=1, keepdims=True))
+                     / logp0.std(axis=1, keepdims=True) / cfg.temp_sample)
+
+        weights = jax.nn.softmax(logp0, axis=1)
+        Ybar = jnp.einsum("sn,snij->sij", weights, Y0s)
+
+        score = (-Yi + jnp.sqrt(abar) * Ybar) / (1.0 - abar)
+        Yim1 = (Yi + (1.0 - abar) * score) / jnp.sqrt(sched.alphas[i])
+        Ybar_im1 = Yim1 / jnp.sqrt(sched.alphas_bar[i - 1])
+
+        return (rngs_next, Ybar_im1), (Ybar_im1, rews.mean(axis=1))
+
+    return reverse_once
+
+
+def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
+               chunk_size: int = 0, progress_fn=None,
+               engine: Optional[str] = None) -> MBDResult:
+    """Run S independent full denoises as one batched device program.
+
+    ``rngs``: [S] stacked PRNG keys, one per seed. Each seed's RNG chain is
+    identical to ``plan(rng=rngs[s])`` — same reset split, same experiment
+    stream — so per-seed results match the serial harness to f32 rollout
+    tolerance. Returns an MBDResult with a leading seed axis on every field.
+
+    The best-feasible-iterate final selection is fully vectorized here
+    (always evaluates the Ndiffuse-1 iterate candidates per seed — S·T extra
+    rollouts, tiny next to the S·T·Nsample the denoise itself does).
+    """
+    S = rngs.shape[0]
+    split1 = jax.vmap(jax.random.split)(rngs)
+    rng_after, rng_reset = split1[:, 0], split1[:, 1]
+    states_init = jax.vmap(env.reset)(rng_reset)
+    split2 = jax.vmap(jax.random.split)(rng_after)
+    rng_exp = split2[:, 0]
+
+    if engine is None:
+        engine = default_engine(env)
+    sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
+    reverse_once = make_reverse_once_batch(env, cfg, states_init, sched, S,
+                                           engine=engine)
+
+    def reverse_chunk(carry, steps):
+        return jax.lax.scan(reverse_once, carry, steps)
+
+    if jit:
+        reverse_chunk = jax.jit(reverse_chunk)
+
+    YN = jnp.zeros((S, cfg.Hsample, env.action_size))
+    steps = jnp.arange(cfg.Ndiffuse - 1, 0, -1)
+    n = steps.shape[0]
+    if chunk_size <= 0:
+        (_, _), (Ybars, rews_trace) = reverse_chunk((rng_exp, YN), steps)
+    else:
+        carry = (rng_exp, YN)
+        Ybars_l, rews_l = [], []
+        pad = (-n) % chunk_size
+        steps_p = jnp.concatenate([steps, jnp.ones(pad, steps.dtype)])
+        for c in range(0, n + pad, chunk_size):
+            carry, (Yb, rw) = reverse_chunk(carry, steps_p[c:c + chunk_size])
+            Ybars_l.append(Yb)
+            rews_l.append(rw)
+            if progress_fn is not None:
+                progress_fn(min(c + chunk_size, n),
+                            float(rw[-1].mean()))
+        Ybars = jnp.concatenate(Ybars_l)[:n]
+        rews_trace = jnp.concatenate(rews_l)[:n]
+    Ybars = jnp.swapaxes(Ybars, 0, 1)           # [S, T, H, nu]
+    rews_trace = jnp.swapaxes(rews_trace, 0, 1)  # [S, T]
+
+    # final evaluation + vectorized best-feasible-iterate selection
+    from types import SimpleNamespace
+
+    from ..rollout.fused import rollout_rewards
+
+    T = n
+    if engine in ("fused", "pallas"):
+        q0 = jnp.repeat(states_init.pipeline_state.q.T, T, axis=1)
+        qd0 = jnp.repeat(states_init.pipeline_state.qd.T, T, axis=1)
+        shim = SimpleNamespace(
+            pipeline_state=SimpleNamespace(q=q0, qd=qd0))
+        cand_rews, _, cand_bad = jax.jit(
+            lambda y: rollout_rewards(env, shim, y, need_states=False))(
+                Ybars.reshape(S * T, cfg.Hsample, env.action_size))
+        cand = cand_rews.mean(axis=-1).reshape(S, T)
+        cand_bad = cand_bad.reshape(S, T)
+        feasible = (cand_bad == 0) & jnp.isfinite(cand)
+        masked = jnp.where(feasible, cand, -jnp.inf)
+        best = jnp.argmax(masked, axis=1)
+        # keep the final iterate when its own rollout is clean (reference
+        # semantics); fall back to the best clean iterate otherwise
+        choose = jnp.where(feasible[:, -1], T - 1, best)
+        any_ok = jnp.isfinite(jnp.take_along_axis(
+            masked, choose[:, None], axis=1))[:, 0]
+        choose = jnp.where(any_ok, choose, T - 1)
+        final_reward = jnp.take_along_axis(cand, choose[:, None],
+                                           axis=1)[:, 0]
+        Yfinal = jnp.take_along_axis(
+            Ybars, choose[:, None, None, None], axis=1)[:, 0]
+        Ybars = Ybars.at[:, -1].set(Yfinal)
+    else:
+        final_rews = jax.vmap(
+            lambda s, y: rollout_us(env.step, s, y)[0])(
+                states_init, Ybars[:, -1])
+        final_reward = final_rews.mean(axis=-1)
+    return MBDResult(Ybars=Ybars, rews_trace=rews_trace,
+                     final_reward=final_reward)
 
 
 def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,

@@ -77,6 +77,11 @@ def rollout_rewards(env, state0, Y0s: jnp.ndarray, need_states: bool = None
     batch-last q/qd/ctrl arrays — true for every physics env in the suite)
     and the caller doesn't need link states, the post-rollout FK pass is
     skipped entirely. The demo branch passes ``need_states=True``.
+
+    ``state0.pipeline_state.q/.qd`` may carry a trailing per-sample batch
+    axis ([nq, N] instead of [nq]) — each sample then rolls out from its own
+    initial state (used by the seed-batched planner, where seeds with
+    different reset noise share one program).
     """
     sys = env.sys
     N, H, nu = Y0s.shape
@@ -88,10 +93,19 @@ def rollout_rewards(env, state0, Y0s: jnp.ndarray, need_states: bool = None
     Np = N + pad
     L = Np // SUBLANES
     Upk = U.reshape(H, nu, SUBLANES, L)
-    q0 = jnp.broadcast_to(state0.pipeline_state.q[:, None, None],
-                          (sys.nq, SUBLANES, L))
-    qd0 = jnp.broadcast_to(state0.pipeline_state.qd[:, None, None],
-                           (sys.nv, SUBLANES, L))
+    q0_in = state0.pipeline_state.q
+    qd0_in = state0.pipeline_state.qd
+    if q0_in.ndim == 1:
+        q0 = jnp.broadcast_to(q0_in[:, None, None],
+                              (sys.nq, SUBLANES, L))
+        qd0 = jnp.broadcast_to(qd0_in[:, None, None],
+                               (sys.nv, SUBLANES, L))
+    else:
+        if pad:
+            q0_in = jnp.pad(q0_in, ((0, 0), (0, pad)), mode="edge")
+            qd0_in = jnp.pad(qd0_in, ((0, 0), (0, pad)), mode="edge")
+        q0 = q0_in.reshape(sys.nq, SUBLANES, L)
+        qd0 = qd0_in.reshape(sys.nv, SUBLANES, L)
     qs, qds, diverged = rollout_qs(sys, env.n_frames, q0, qd0, Upk)
     diverged = diverged.reshape(Np)[:N]
 

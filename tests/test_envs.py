@@ -84,3 +84,22 @@ def test_humanoidtrack_demo_api():
     ps = ps.replace(x=ps.x.replace(pos=pos))
     logpd = float(env.eval_xref_logpd(ps))
     assert logpd == pytest.approx(0.0, abs=1e-6)
+
+
+def test_traj_xref_logpd_qs_matches_link_state_path():
+    """The q-trace demo scorer (Pallas engine's demo branch) must agree
+    with the link-state-based traj_xref_logpd on the same trajectories."""
+    from mbd_tpu.rollout.fused import states_from_qs
+
+    env = envs.get_env("humanoidtrack")
+    H, B = 5, 4
+    rng = jax.random.PRNGKey(2)
+    qs = env.sys.init_q[None, :, None] + 0.05 * jax.random.normal(
+        rng, (H, env.sys.nq, B))
+    qds = jnp.zeros((H, env.sys.nv, B))
+    ps = states_from_qs(env.sys, qs, qds)
+    logpd_ref = env.traj_xref_logpd(ps)
+    logpd_qs = env.traj_xref_logpd_qs(qs)
+    np.testing.assert_allclose(np.asarray(logpd_ref),
+                               np.asarray(logpd_qs), atol=1e-5)
+    assert np.asarray(logpd_qs).std() > 0

@@ -1,0 +1,82 @@
+"""Seed-batched planning (mbd.plan_batch) parity with the serial harness.
+
+The reference runs its multi-seed acceptance harness as a serial loop
+(mbd/scripts/run_mbd.py:17-39). plan_batch folds the seed axis into the
+engines' sample axis; per-seed results must match plan() run seed-by-seed
+(same RNG chains) to f32 rollout tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbd_tpu import envs
+from mbd_tpu.planners import mbd
+
+CFG = dict(Nsample=32, Hsample=8, Ndiffuse=6, temp_sample=0.1)
+
+
+@pytest.mark.slow
+def test_plan_batch_matches_serial_fused():
+    env = envs.get_env("hopper")
+    cfg = mbd.MBDConfig(**CFG)
+    rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(2)])
+    batch = mbd.plan_batch(env, cfg, rngs, engine="fused")
+    assert batch.Ybars.shape == (2, cfg.Ndiffuse - 1, cfg.Hsample,
+                                 env.action_size)
+    for s in range(2):
+        serial = mbd.plan(env, cfg, jax.random.PRNGKey(s), engine="fused")
+        np.testing.assert_allclose(np.asarray(serial.rews_trace),
+                                   np.asarray(batch.rews_trace[s]),
+                                   atol=5e-3)
+        np.testing.assert_allclose(float(serial.final_reward),
+                                   float(batch.final_reward[s]), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_plan_batch_vmap_engine_car2d():
+    env = envs.get_env("car2d")
+    cfg = mbd.MBDConfig(**CFG)
+    rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(2)])
+    batch = mbd.plan_batch(env, cfg, rngs, engine="vmap")
+    serial = mbd.plan(env, cfg, jax.random.PRNGKey(0), engine="vmap")
+    np.testing.assert_allclose(np.asarray(serial.rews_trace),
+                               np.asarray(batch.rews_trace[0]), atol=5e-3)
+    np.testing.assert_allclose(float(serial.final_reward),
+                               float(batch.final_reward[0]), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_plan_batch_demo_vmap_car2d():
+    """Seed-batched demo-conditioned denoise (car2d): exercises the
+    per-seed demo-fusion reductions (max/renormalize along axis 1) against
+    the serial planner. (The humanoid demo envs are too compile-heavy for
+    the CPU CI — XLA flags the unrolled 19-link engine as a "very slow
+    compile"; their pallas q-trace path is unit-covered in
+    test_rollout_pallas/test_envs and integration-covered by the
+    tpu-marked test below + docs/RESULTS.json demo rows.)"""
+    env = envs.get_env("car2d")
+    cfg = mbd.MBDConfig(Nsample=32, Hsample=8, Ndiffuse=6, temp_sample=0.1,
+                        enable_demo=True)
+    rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(2)])
+    batch = mbd.plan_batch(env, cfg, rngs, engine="vmap")
+    serial = mbd.plan(env, cfg, jax.random.PRNGKey(1), engine="vmap")
+    np.testing.assert_allclose(np.asarray(serial.rews_trace),
+                               np.asarray(batch.rews_trace[1]), atol=5e-3)
+    assert np.isfinite(np.asarray(batch.final_reward)).all()
+
+
+@pytest.mark.tpu
+def test_plan_batch_demo_pallas_tpu():
+    """On real TPU hardware: seed-batched demo-conditioned humanoidtrack
+    on the Pallas engine (in-kernel q-trace + folded-FK demo scoring)
+    agrees with the serial fused path."""
+    env = envs.get_env("humanoidtrack")
+    cfg = mbd.MBDConfig(Nsample=64, Hsample=50, Ndiffuse=6,
+                        temp_sample=0.1, enable_demo=True)
+    rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(2)])
+    batch = mbd.plan_batch(env, cfg, rngs, engine="pallas")
+    serial = mbd.plan(env, cfg, jax.random.PRNGKey(0), engine="fused")
+    np.testing.assert_allclose(np.asarray(serial.rews_trace),
+                               np.asarray(batch.rews_trace[0]), atol=5e-3)
