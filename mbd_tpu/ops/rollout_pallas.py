@@ -204,45 +204,3 @@ def rollout_rewards_pallas(env, state0, Y0s: jnp.ndarray,
     U = jnp.transpose(Y0s, (1, 2, 0))
     out = fn(state0.pipeline_state.q, state0.pipeline_state.qd, U)
     return (jnp.transpose(out[0], (1, 0)),) + out[1:]
-
-
-def rollout_rewards_pallas_sharded(env, state0, Y0s: jnp.ndarray, mesh,
-                                   b_tile: int = DEFAULT_B_TILE,
-                                   interpret: bool = None):
-    """Meshed variant: shard the sample axis of ``Y0s`` over a 1-D mesh and
-    run the VMEM-resident kernel per device on its local shard.
-
-    ``pallas_call`` does not auto-partition under GSPMD, so the idiomatic
-    multi-chip path (the north-star mapping of the reference's
-    mbd_planner.py:110-128 onto ICI) is ``jax.shard_map``: each chip rolls
-    out N/n_dev samples locally; the planner's cross-sample reductions
-    (mean/std/softmax/barycenter) on the sharded outputs lower to psum-style
-    ICI collectives under GSPMD. Same return contract as
-    ``rollout_rewards_pallas``; outputs are sample-sharded.
-    """
-    from functools import partial
-
-    from jax.sharding import PartitionSpec as P
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    N, H, nu = Y0s.shape
-    n_dev = mesh.devices.size
-    axis = mesh.axis_names[0]
-    assert N % n_dev == 0, (
-        f"Nsample={N} must divide the {n_dev}-device sample mesh")
-    n_loc = N // n_dev
-    fn = make_rollout_kernel(env.sys, env, env.n_frames, H,
-                             min(b_tile, _round_up(n_loc, SUBLANES)),
-                             interpret)
-
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(axis)),
-             out_specs=(P(axis), P(axis)),
-             check_vma=False)  # pallas out_shapes carry no vma metadata
-    def sharded(q0, qd0, Y0s_local):
-        U = jnp.transpose(Y0s_local, (1, 2, 0))
-        rews, bad = fn(q0, qd0, U)
-        return jnp.transpose(rews, (1, 0)), bad
-
-    return sharded(state0.pipeline_state.q, state0.pipeline_state.qd, Y0s)

@@ -83,9 +83,9 @@ def default_engine(env, mesh: Optional[Mesh] = None) -> str:
     VMEM-resident Pallas rollout on TPU (≈10× the XLA-fused path — the whole
     H×n_frames loop stays on-chip) when the env has the pure-q reward fast
     path, else the batch-last fused engine. Meshed TPU runs keep the Pallas
-    kernel via ``jax.shard_map`` (ops/rollout_pallas.py:
-    rollout_rewards_pallas_sharded) — each chip rolls out its sample shard
-    locally and the planner reductions cross chips as ICI collectives."""
+    kernel via the ``jax.shard_map`` region in ``make_reverse_once`` — each
+    chip rolls out its sample shard locally and the planner reductions
+    cross chips as ICI collectives."""
     from ..envs.physics import PhysicsEnv
     if not isinstance(env, PhysicsEnv):
         return "vmap"
