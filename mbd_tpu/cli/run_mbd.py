@@ -135,19 +135,23 @@ def run_multiple_seed(args) -> None:
     denoise step, so the whole harness costs roughly one seed's wall time
     when the chip has headroom — a TPU-native speedup over the reference's
     serial loop."""
-    if args.batch_seeds and args.algo == "mbd":
+    if args.batch_seeds:
         import jax
         import jax.numpy as jnp
 
         from .. import envs
-        from ..planners import mbd
+        from ..planners import mbd, path_integral
 
         env = envs.get_env(args.env_name)
         cfg = _make_cfg(args)
         rngs = jnp.stack(
             [jax.random.PRNGKey(s) for s in range(args.n_seeds)])
         t0 = time.time()
-        res = mbd.plan_batch(env, cfg, rngs, chunk_size=args.chunk_size)
+        if args.algo == "mbd":
+            res = mbd.plan_batch(env, cfg, rngs,
+                                 chunk_size=args.chunk_size)
+        else:
+            res = path_integral.plan_batch(env, cfg, rngs)
         rews = np.asarray(res.final_reward)
         dt = time.time() - t0
         for seed, rew in enumerate(rews):

@@ -84,6 +84,134 @@ class PathIntegralResult:
     final_reward: jax.Array
 
 
+def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
+               jit: bool = True,
+               engine: Optional[str] = None) -> PathIntegralResult:
+    """S independent refinements as one batched device program (cf.
+    mbd.plan_batch): seeds fold into the engines' sample axis, each seed
+    rolling out from its own reset state; softmax/update-rule reductions
+    are per-seed. Returns a PathIntegralResult with a leading seed axis.
+
+    Per-seed RNG chains match ``plan(rng=rngs[s])``, so results agree with
+    the serial harness to f32 rollout tolerance.
+    """
+    from types import SimpleNamespace
+
+    if engine is None:
+        from .mbd import default_engine
+        engine = default_engine(env)
+    update_fn = _UPDATE_FNS[cfg.update_method]
+    nu = env.action_size
+    S, N = rngs.shape[0], cfg.Nsample
+
+    split1 = jax.vmap(jax.random.split)(rngs)
+    rng_after, rng_reset = split1[:, 0], split1[:, 1]
+    states_init = jax.vmap(env.reset)(rng_reset)
+    split2 = jax.vmap(jax.random.split)(rng_after)
+    rng_exp = split2[:, 0]
+
+    if engine in ("fused", "pallas"):
+        b_tile = min(1024, ((S * N + 7) // 8) * 8)
+        q0 = jnp.repeat(states_init.pipeline_state.q.T, N, axis=1)
+        qd0 = jnp.repeat(states_init.pipeline_state.qd.T, N, axis=1)
+        shim = SimpleNamespace(
+            pipeline_state=SimpleNamespace(q=q0, qd=qd0))
+        if engine == "pallas":
+            from ..ops.rollout_pallas import rollout_rewards_pallas
+
+            def batch_eval(Y0s):
+                rews, bad = rollout_rewards_pallas(
+                    env, shim, Y0s.reshape(S * N, cfg.Hsample, nu),
+                    b_tile=b_tile)
+                return rews.mean(axis=-1).reshape(S, N), bad.reshape(S, N)
+        else:
+            from ..rollout.fused import rollout_rewards
+
+            def batch_eval(Y0s):
+                rews, _, bad = rollout_rewards(
+                    env, shim, Y0s.reshape(S * N, cfg.Hsample, nu))
+                return rews.mean(axis=-1).reshape(S, N), bad.reshape(S, N)
+    else:
+        _ev = jax.vmap(jax.vmap(functools.partial(eval_us, env.step),
+                                in_axes=(None, 0)), in_axes=(0, 0))
+
+        def batch_eval(Y0s):
+            return _ev(states_init, Y0s).mean(axis=-1), None
+
+    batched_update = jax.vmap(
+        lambda w, y, s, m: update_fn(w, y, s, m, cfg))
+
+    def update_once(carry, _):
+        rngs_c, mu_0t, sigma = carry                # [S,2], [S,H,nu], [S]
+        split = jax.vmap(jax.random.split)(rngs_c)
+        rngs_next, keys = split[:, 0], split[:, 1]
+        eps = jax.vmap(lambda k: jax.random.normal(
+            k, (N, cfg.Hsample, nu)))(keys) * sigma[:, None, None, None]
+        Y0s = jnp.clip(eps + mu_0t[:, None], -1.0, 1.0)
+
+        rews, diverged = batch_eval(Y0s)
+        valid = jnp.isfinite(rews)
+        if diverged is not None:
+            valid = valid & (diverged == 0)
+        worst = jnp.min(jnp.where(valid, rews, jnp.inf), axis=1,
+                        keepdims=True)
+        worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
+        rews = jnp.where(valid, rews, worst)
+        rew_std = rews.std(axis=1, keepdims=True)
+        rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)
+        logp0 = (rews - rews.mean(axis=1, keepdims=True)) / rew_std \
+            / cfg.temp_sample
+        weights = jax.nn.softmax(logp0, axis=1)
+        mu_0tm1, sigma = batched_update(weights, Y0s, sigma, mu_0t)
+        return (rngs_next, mu_0tm1, sigma), (mu_0tm1, rews.mean(axis=1))
+
+    def refine(rng_batch):
+        mu_0T = jnp.zeros((S, cfg.Hsample, nu))
+        carry = (rng_batch, mu_0T, jnp.ones(S))
+        _, (mu_0ts, rews_trace) = jax.lax.scan(
+            update_once, carry, None, length=cfg.Nrefine - 1)
+        return mu_0ts, rews_trace
+
+    if jit:
+        refine = jax.jit(refine)
+    mu_0ts, rews_trace = refine(rng_exp)
+    mu_0ts = jnp.swapaxes(mu_0ts, 0, 1)             # [S, T, H, nu]
+    rews_trace = jnp.swapaxes(rews_trace, 0, 1)
+
+    T = cfg.Nrefine - 1
+    if engine in ("fused", "pallas"):
+        from ..rollout.fused import rollout_rewards
+
+        q0 = jnp.repeat(states_init.pipeline_state.q.T, T, axis=1)
+        qd0 = jnp.repeat(states_init.pipeline_state.qd.T, T, axis=1)
+        shim_t = SimpleNamespace(
+            pipeline_state=SimpleNamespace(q=q0, qd=qd0))
+        cand_rews, _, cand_bad = jax.jit(
+            lambda y: rollout_rewards(env, shim_t, y, need_states=False))(
+                mu_0ts.reshape(S * T, cfg.Hsample, nu))
+        cand = cand_rews.mean(axis=-1).reshape(S, T)
+        cand_bad = cand_bad.reshape(S, T)
+        feasible = (cand_bad == 0) & jnp.isfinite(cand)
+        masked = jnp.where(feasible, cand, -jnp.inf)
+        best = jnp.argmax(masked, axis=1)
+        choose = jnp.where(feasible[:, -1], T - 1, best)
+        any_ok = jnp.isfinite(jnp.take_along_axis(
+            masked, choose[:, None], axis=1))[:, 0]
+        choose = jnp.where(any_ok, choose, T - 1)
+        final_reward = jnp.take_along_axis(cand, choose[:, None],
+                                           axis=1)[:, 0]
+        mu_final = jnp.take_along_axis(
+            mu_0ts, choose[:, None, None, None], axis=1)[:, 0]
+        mu_0ts = mu_0ts.at[:, -1].set(mu_final)
+    else:
+        final_rews = jax.vmap(
+            lambda s, y: eval_us(env.step, s, y))(
+                states_init, mu_0ts[:, -1])
+        final_reward = final_rews.mean(axis=-1)
+    return PathIntegralResult(mu_0ts=mu_0ts, rews_trace=rews_trace,
+                              final_reward=final_reward)
+
+
 def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
          mesh: Optional[Mesh] = None, jit: bool = True,
          engine: Optional[str] = None) -> PathIntegralResult:

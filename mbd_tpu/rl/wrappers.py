@@ -20,6 +20,50 @@ import jax.numpy as jnp
 from ..envs.base import State
 
 
+class DivergenceGuardWrapper:
+    """Failure detection for RL training. The penalty-contact engine can
+    blow up under the wild actions an untrained policy emits over
+    1000-step episodes (the planners demote diverged rollouts for the same
+    reason — planners/mbd.py; the reference trains through brax, which
+    never NaNs, so it needs no equivalent). When the post-step state goes
+    non-finite or joint speed passes the engine's divergence threshold,
+    the step is rolled back to the pre-step state with ``done=1`` and zero
+    reward — auto-reset then swaps in a fresh episode instead of NaNs
+    poisoning the replay buffer / advantage estimates."""
+
+    def __init__(self, env):
+        self.env = env
+
+    def reset(self, rng: jax.Array) -> State:
+        return self.env.reset(rng)
+
+    def step(self, state: State, action: jax.Array) -> State:
+        from ..sim.batched import QD_DIVERGED
+
+        nxt = self.env.step(state, action)
+        ok = jnp.isfinite(nxt.obs).all() & jnp.isfinite(nxt.reward)
+        for leaf in jax.tree.leaves(nxt.pipeline_state):
+            ok = ok & jnp.isfinite(leaf).all()
+        qd = getattr(nxt.pipeline_state, "qd", None)
+        if qd is not None:
+            ok = ok & (jnp.max(jnp.abs(qd)) < QD_DIVERGED)
+        bad = ~ok
+
+        def pick(prev, new):
+            return jnp.where(bad, prev, new)
+
+        pipeline_state = jax.tree.map(pick, state.pipeline_state,
+                                      nxt.pipeline_state)
+        return nxt.replace(
+            pipeline_state=pipeline_state,
+            obs=pick(state.obs, nxt.obs),
+            reward=jnp.where(bad, jnp.zeros_like(nxt.reward), nxt.reward),
+            done=jnp.where(bad, jnp.ones_like(nxt.done), nxt.done))
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+
 class EpisodeWrapper:
     def __init__(self, env, episode_length: int, action_repeat: int = 1):
         self.env = env
@@ -95,5 +139,5 @@ class AutoResetWrapper:
 
 
 def wrap_for_training(env, episode_length: int, action_repeat: int = 1):
-    return AutoResetWrapper(EpisodeWrapper(env, episode_length,
-                                           action_repeat))
+    return AutoResetWrapper(EpisodeWrapper(
+        DivergenceGuardWrapper(env), episode_length, action_repeat))

@@ -80,3 +80,20 @@ def test_plan_batch_demo_pallas_tpu():
     serial = mbd.plan(env, cfg, jax.random.PRNGKey(0), engine="fused")
     np.testing.assert_allclose(np.asarray(serial.rews_trace),
                                np.asarray(batch.rews_trace[0]), atol=5e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["mppi", "cem", "cma-es"])
+def test_path_integral_plan_batch_matches_serial(method):
+    from mbd_tpu.planners import path_integral as pi
+
+    env = envs.get_env("hopper")
+    cfg = pi.PathIntegralConfig(update_method=method, Nsample=32,
+                                Hsample=8, Nrefine=6)
+    rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(2)])
+    batch = pi.plan_batch(env, cfg, rngs, engine="fused")
+    serial = pi.plan(env, cfg, jax.random.PRNGKey(1), engine="fused")
+    np.testing.assert_allclose(np.asarray(serial.rews_trace),
+                               np.asarray(batch.rews_trace[1]), atol=5e-3)
+    np.testing.assert_allclose(float(serial.final_reward),
+                               float(batch.final_reward[1]), atol=5e-3)
