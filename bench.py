@@ -10,11 +10,13 @@ the driver-set target.
 The single JSON line also carries:
   * flagship: the same denoise at the reference's recommended humanoidrun
     Nsample=8192 (mbd_planner.py:54-60) — the actual production workload;
-  * flop_model: XLA cost-analysis FLOPs for one reverse step (from the
-    fused-engine program — identical physics math; Mosaic kernels are opaque
-    to the cost model), achieved TFLOP/s, and utilization vs both the VPU
-    f32 peak (this workload is elementwise/VPU-bound — no matmuls) and the
-    chip's bf16 MXU peak (the conventional MFU denominator).
+  * flop_model: XLA cost-analysis FLOPs of ONE batched physics substep
+    (loop bodies are counted explicitly — cost-analyzing a scanned program
+    reports its body once and undercounts ~H·n_frames×), scaled by the
+    statically-known substep count, as achieved TFLOP/s and utilization vs
+    both the VPU f32 peak (this workload is elementwise/VPU-bound — no
+    matmuls) and the chip's bf16 MXU peak (the conventional MFU
+    denominator).
 
 Failures are LOUD: an error JSON line + exit 1, never a silent fallback.
 """
@@ -92,28 +94,38 @@ def _bench(env_name: str, cfg_kwargs: dict, engine, target_s, chunk: int):
 
 def _flop_model(env_name: str, cfg_kwargs: dict, chunk: int, wall_s: float,
                 n_steps: int):
-    """XLA cost-analysis FLOPs of one fused-engine reverse step, scaled to
-    the full denoise and divided by the measured (Pallas) wall time."""
+    """Analytic-scale FLOP model: XLA cost-analysis of ONE physics substep
+    (no scan/fori — XLA reports loop-body flops once, which is why
+    analyzing the whole reverse step undercounts ~H·n_frames×), multiplied
+    by the statically-known substep count of the denoise
+    (n_steps · Hsample · n_frames), divided by the measured Pallas wall
+    time. Reward/softmax/barycenter flops are excluded (sub-1% of the
+    physics)."""
     from mbd_tpu import envs
-    from mbd_tpu.planners import mbd
+    from mbd_tpu.sim import batched as BT
 
     env = envs.get_env(env_name)
-    cfg = mbd.MBDConfig(**cfg_kwargs)
-    chunk_fn = _make_chunk_fn(env, cfg, engine="fused")
-    carry = (jax.random.PRNGKey(1),
-             jnp.zeros((cfg.Hsample, env.action_size)))
-    steps = jnp.arange(cfg.Ndiffuse - 1, cfg.Ndiffuse - 1 - chunk, -1)
-    cost = chunk_fn.lower(carry, steps).compile().cost_analysis()
-    flops_per_step = float(cost.get("flops", 0.0)) / chunk
-    total = flops_per_step * n_steps
+    N = cfg_kwargs["Nsample"]
+    H = cfg_kwargs["Hsample"]
+    # same packed batch layout as the kernel: [dim, 8, N/8]
+    q = jnp.broadcast_to(
+        env.sys.init_q[:, None, None], (env.sys.nq, 8, N // 8))
+    qd = jnp.zeros((env.sys.nv, 8, N // 8))
+    u = jnp.zeros((env.sys.nu, 8, N // 8))
+    sub = jax.jit(lambda q, qd, u: BT.substep_b(env.sys, q, qd, u))
+    cost = sub.lower(q, qd, u).compile().cost_analysis()
+    flops_per_substep = float(cost.get("flops", 0.0))
+    total = flops_per_substep * n_steps * H * env.n_frames
     achieved = total / wall_s
     kind = jax.devices()[0].device_kind
     peaks = _PEAKS.get(kind, {})
     out = {
-        "source": "XLA cost_analysis of the fused-engine reverse step "
-                  "(same physics math as the timed Pallas kernel)",
+        "source": "XLA cost_analysis of one batched physics substep × "
+                  "(Ndiffuse-1)·H·n_frames (same math the Pallas kernel "
+                  "executes; loop bodies counted explicitly)",
         "device_kind": kind,
-        "flops_per_reverse_step": round(flops_per_step),
+        "flops_per_substep_batch": round(flops_per_substep),
+        "substeps": n_steps * H * env.n_frames,
         "achieved_tflops_per_s": round(achieved / 1e12, 3),
     }
     for name, peak in peaks.items():

@@ -139,13 +139,18 @@ def main(argv=None):
     save_params(os.path.join(path, "params.msgpack"), params)
 
     # post-train eval: 8 seeds × 50 steps (40 for pushT), reference
-    # train_brax.py:206-225
+    # train_brax.py:206-225. The guard keeps an engine blow-up under an
+    # aggressive trained gait from turning the whole eval into NaNs
+    # (diverged steps roll back with zero reward — cf. wrappers.py).
+    from .wrappers import DivergenceGuardWrapper
+
+    eval_env = DivergenceGuardWrapper(env)
     inference = jax.jit(make_inference_fn(params))
-    step = jax.jit(env.step)
+    step = jax.jit(eval_env.step)
     n_steps = 40 if args.env_name == "pushT" else 50
     rews = []
     for seed in range(8):
-        state = env.reset(jax.random.PRNGKey(seed))
+        state = eval_env.reset(jax.random.PRNGKey(seed))
         ep = []
         for _ in range(n_steps):
             state = step(state, inference(state.obs))
@@ -183,7 +188,7 @@ def main(argv=None):
         from ..rollout import rollout_states
         from ..viz import html as vhtml
 
-        state = env.reset(jax.random.PRNGKey(0))
+        state = eval_env.reset(jax.random.PRNGKey(0))
         us = []
         s = state
         for _ in range(n_steps):
