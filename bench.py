@@ -13,10 +13,11 @@ The single JSON line also carries:
   * flop_model: XLA cost-analysis FLOPs of ONE batched physics substep
     (loop bodies are counted explicitly — cost-analyzing a scanned program
     reports its body once and undercounts ~H·n_frames×), scaled by the
-    statically-known substep count, as achieved TFLOP/s and utilization vs
-    both the VPU f32 peak (this workload is elementwise/VPU-bound — no
-    matmuls) and the chip's bf16 MXU peak (the conventional MFU
-    denominator).
+    statically-known substep count, as algorithmic TFLOP/s against both
+    the VPU f32 peak (this workload is elementwise/VPU-bound — no matmuls)
+    and the chip's bf16 MXU peak (the conventional MFU denominator). The
+    dense masked-einsum count is an upper bound on executed flops, so a
+    ratio near/above 1.0 reads "at the compute roofline".
 
 Failures are LOUD: an error JSON line + exit 1, never a silent fallback.
 """
@@ -123,13 +124,18 @@ def _flop_model(env_name: str, cfg_kwargs: dict, chunk: int, wall_s: float,
         "source": "XLA cost_analysis of one batched physics substep × "
                   "(Ndiffuse-1)·H·n_frames (same math the Pallas kernel "
                   "executes; loop bodies counted explicitly)",
+        "note": "algorithmic (dense masked-einsum) flop count — an UPPER "
+                "bound on executed flops: the compilers eliminate "
+                "structurally-zero mask terms, so a ratio near/above 1.0 "
+                "means the kernel runs at the compute roofline for this "
+                "workload, not that it beats the silicon",
         "device_kind": kind,
         "flops_per_substep_batch": round(flops_per_substep),
         "substeps": n_steps * H * env.n_frames,
-        "achieved_tflops_per_s": round(achieved / 1e12, 3),
+        "algorithmic_tflops_per_s": round(achieved / 1e12, 3),
     }
     for name, peak in peaks.items():
-        out[f"utilization_vs_{name}_peak"] = round(achieved / peak, 4)
+        out[f"algorithmic_vs_{name}_peak"] = round(achieved / peak, 4)
     return out
 
 
