@@ -25,6 +25,11 @@ def get_env(env_name: str):
     if env_name == "humanoidtrack":
         from .humanoidtrack import HumanoidTrack
         return HumanoidTrack()
+    if env_name == "humanoidtrack_walk":
+        # the reference ships walk_xref alongside jog but never loads it
+        # (mbd/envs/humanoidtrack.py:33 hardcodes "jog"); same env, walk clip
+        from .humanoidtrack import HumanoidTrack
+        return HumanoidTrack(mode="walk")
     if env_name == "pushT":
         from .pushT import PushT
         return PushT()

@@ -103,3 +103,12 @@ def test_traj_xref_logpd_qs_matches_link_state_path():
     np.testing.assert_allclose(np.asarray(logpd_ref),
                                np.asarray(logpd_qs), atol=1e-5)
     assert np.asarray(logpd_qs).std() > 0
+
+
+def test_humanoidtrack_walk_mode():
+    """The walk demo clip (shipped but never loaded by the reference —
+    mbd/envs/humanoidtrack.py:33 hardcodes jog) is a first-class mode."""
+    env = envs.get_env("humanoidtrack_walk")
+    assert env.xref.shape == (5, 50, 3)
+    jog = envs.get_env("humanoidtrack")
+    assert not np.allclose(np.asarray(env.xref), np.asarray(jog.xref))
