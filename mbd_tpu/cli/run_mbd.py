@@ -96,6 +96,11 @@ def run_single(args, render: bool = True) -> float:
     else:
         res = path_integral.plan(env, cfg, rng)
         Ybars = res.mu_0ts
+    if res.final_diverged is not None and bool(
+            np.asarray(res.final_diverged).any()):
+        print("WARNING: final plan flagged DIVERGED by the engine's "
+              "validity envelope — the reward below is not an earned "
+              "number", flush=True)
 
     if render:
         path = os.path.join(args.results_dir, args.env_name)
@@ -153,10 +158,15 @@ def run_multiple_seed(args) -> None:
         else:
             res = path_integral.plan_batch(env, cfg, rngs)
         rews = np.asarray(res.final_reward)
+        divs = (np.asarray(res.final_diverged)
+                if res.final_diverged is not None
+                else np.zeros(len(rews), bool))
         dt = time.time() - t0
-        for seed, rew in enumerate(rews):
-            print(f"seed {seed}: rew={rew:.3f}", flush=True)
-        print(f"rew: {np.mean(rews):.3f} ± {np.std(rews):.3f}")
+        for seed, (rew, dv) in enumerate(zip(rews, divs)):
+            tag = "  [DIVERGED]" if dv else ""
+            print(f"seed {seed}: rew={rew:.3f}{tag}", flush=True)
+        print(f"rew: {np.mean(rews):.3f} ± {np.std(rews):.3f}"
+              + (f"  ({int(divs.sum())} diverged)" if divs.any() else ""))
         print(f"time: {dt:.1f} s total (batched over "
               f"{args.n_seeds} seeds)")
         return

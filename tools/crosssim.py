@@ -137,9 +137,12 @@ def worker(task: str):
 
     print(json.dumps({
         "env": env_name, "seed": seed,
-        "reward_ours": ours, "reward_mujoco": mj,
+        "reward_ours": ours,
+        "final_diverged": bool(res.final_diverged)
+        if res.final_diverged is not None else False,
+        "reward_mujoco": mj,
         "reward_mujoco_zero_ctrl": mj_zero,
-        "diverge_step": diverge_step, "horizon": len(us),
+        "first_divergence_step": diverge_step, "horizon": len(us),
         "backend": jax.default_backend(),
         "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
                        Ndiffuse=cfg.Ndiffuse, temp=cfg.temp_sample),
@@ -166,15 +169,23 @@ def main():
         [sys.executable, os.path.abspath(__file__), "--worker", "{task}"],
         tasks, timeout_sec=args.timeout, retries=1, jobs=1)
 
-    results = {}
+    results = {"_semantics": {
+        "first_divergence_step": "first env step where max |q_ours - q_mujoco|"
+        " exceeds 0.1 (open-loop, two contact solvers); equal to `horizon`"
+        " means the simulators tracked each other for the whole plan"
+        " (bigger is better)",
+        "final_diverged": "our engine's validity-envelope flag on the plan"
+        " (sim/batched.py qd + penetration checks)"}}
     for r in records:
         if r.get("failed"):
             results[r["task"].split(":")[0]] = {"failed": True}
             continue
         res = r["result"]
         results[res["env"]] = {k: res[k] for k in
-                               ("seed", "reward_ours", "reward_mujoco",
-                                "reward_mujoco_zero_ctrl", "diverge_step",
+                               ("seed", "reward_ours", "final_diverged",
+                                "reward_mujoco",
+                                "reward_mujoco_zero_ctrl",
+                                "first_divergence_step",
                                 "horizon", "backend", "config")}
         print(f"{res['env']}: ours={res['reward_ours']:.3f} "
               f"mujoco={res['reward_mujoco']:.3f}", flush=True)

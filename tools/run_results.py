@@ -1,13 +1,25 @@
 """Produce the recorded planner results table (docs/RESULTS.json).
 
-Runs the MBD planner with recommended per-env parameters over multiple
-seeds — the same acceptance harness the reference uses
-(mbd/scripts/run_mbd.py:17-39), but with numbers persisted and each
-env×seed run isolated in its own subprocess via the native fault-tolerant
-launcher (native/launcher): a device fault costs one retry, not the sweep.
+The reference's acceptance harness is 8 seeds of the MBD planner with
+recommended per-env parameters (mbd/scripts/run_mbd.py:17-39). Here every
+env runs its seeds as ONE batched device program (mbd.plan_batch — seeds
+fold into the engines' sample axis), each env isolated in its own
+subprocess via the native fault-tolerant launcher (native/launcher): a
+device fault costs one retry, not the sweep.
 
-  python tools/run_results.py --envs hopper ant --n_seeds 3
-  python tools/run_results.py --worker hopper:0          # one task (JSON)
+Per-seed final rewards AND the engine's divergence flags are persisted —
+a flagged reward is never silently averaged into a published number
+(round-2 verdict items 1+3). The final per-seed plans are saved to
+results/<env>/seed_harness.npz for downstream plausibility auditing
+(tools/plausibility.py).
+
+  python tools/run_results.py --envs hopper ant --n_seeds 8
+  python tools/run_results.py --worker hopper          # one task (JSON)
+
+Env task names may carry a "+demo" suffix (demo-conditioned diffusion,
+reference mbd_planner.py:117-125); demo-capable envs are also scored for
+the demo-tracking log-density of the final plan either way, so the
+with/without-demo contrast is measurable.
 """
 
 import argparse
@@ -19,7 +31,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def worker(task: str, engine: str):
+def worker(task: str, engine: str, n_seeds: int, chunk_size: int,
+           results_dir: str):
     import jax
 
     jax.config.update(
@@ -28,14 +41,13 @@ def worker(task: str, engine: str):
                                      ".jax_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    import jax.numpy as jnp
+    import numpy as np
+
     from mbd_tpu import envs as envs_mod
     from mbd_tpu.planners import mbd
 
-    env_name, seed = task.rsplit(":", 1)
-    seed = int(seed)
-    # "<env>+demo" rows run demo-conditioned diffusion (reference
-    # mbd_planner.py:117-125) and additionally score the final plan's
-    # demo-tracking log-density
+    env_name = task
     demo = env_name.endswith("+demo")
     base_name = env_name[:-len("+demo")] if demo else env_name
     env = envs_mod.get_env(base_name)
@@ -43,37 +55,100 @@ def worker(task: str, engine: str):
     if demo:
         import dataclasses
         cfg = dataclasses.replace(cfg, enable_demo=True)
+
+    rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(n_seeds)])
     t0 = time.time()
-    res = mbd.plan(env, cfg, jax.random.PRNGKey(seed), chunk_size=50,
-                   engine=engine or None)
+
+    def progress(step, rew):
+        print(f"# {env_name}: denoise {step}/{cfg.Ndiffuse} rew={rew:.3e}",
+              file=sys.stderr, flush=True)
+
+    res = mbd.plan_batch(env, cfg, rngs, chunk_size=chunk_size,
+                         progress_fn=progress, engine=engine or None)
+    wall = time.time() - t0
+
+    rewards = np.asarray(res.final_reward, np.float64)
+    diverged = np.asarray(res.final_diverged).astype(bool)
+    plans = np.asarray(res.Ybars[:, -1], np.float32)       # [S, H, nu]
+
     out = {
-        "env": env_name, "seed": seed,
-        "final_reward": float(res.final_reward),
-        "wall_s": round(time.time() - t0, 1),
+        "env": env_name, "n_seeds": n_seeds,
+        "rewards": [float(r) for r in rewards],
+        "diverged": [bool(d) for d in diverged],
+        "wall_s": round(wall, 1),
         "backend": jax.default_backend(),
         "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
                        Ndiffuse=cfg.Ndiffuse, temp=cfg.temp_sample,
                        enable_demo=demo),
     }
-    if demo:
-        rng_reset = jax.random.split(jax.random.PRNGKey(seed))[1]
-        st = env.reset(rng_reset)
-        if hasattr(env, "traj_xref_logpd"):
-            # score with the same batch engine the plan was made with — the
-            # vmap single-rollout path has a different f32 contraction order
-            # and can diverge (→ NaN logpd) on plans the fused engine
-            # integrates fine (see mbd.plan's final-eval note)
-            from mbd_tpu.rollout.fused import rollout_rewards
 
-            _, qs, _ = jax.jit(lambda s, y: rollout_rewards(
-                env, s, y, need_states=True))(st, res.Ybars[-1][None])
-            out["xref_logpd"] = float(env.traj_xref_logpd(qs)[0])
-        else:
-            from mbd_tpu.rollout import rollout_us
+    # demo-tracking log-density of the final plans (scored whether or not
+    # demo conditioning was on — the with/without contrast is the
+    # reference's flagship claim). Batch engines only: the vmap rollout's
+    # different f32 contraction order can diverge on plans the batch
+    # engines integrate fine.
+    states_init = jax.vmap(env.reset)(
+        jax.vmap(lambda r: jax.random.split(r)[1])(rngs))
+    if hasattr(env, "traj_xref_logpd"):
+        from types import SimpleNamespace
 
-            _, states = rollout_us(jax.jit(env.step), st, res.Ybars[-1])
-            out["xref_logpd"] = float(env.eval_xref_logpd(states))
+        from mbd_tpu.rollout.fused import rollout_rewards
+
+        shim = SimpleNamespace(pipeline_state=SimpleNamespace(
+            q=states_init.pipeline_state.q.T,
+            qd=states_init.pipeline_state.qd.T))
+        _, ps, _ = jax.jit(lambda s, y: rollout_rewards(
+            env, s, y, need_states=True))(shim, jnp.asarray(plans))
+        logpd = env.traj_xref_logpd(ps)
+        out["xref_logpd"] = [float(x) for x in np.asarray(logpd)]
+    elif hasattr(env, "eval_xref_logpd"):
+        from mbd_tpu.rollout import rollout_us
+
+        step = jax.jit(env.step)
+        logpds = []
+        for s in range(n_seeds):
+            st = jax.tree.map(lambda x: x[s], states_init)
+            _, states = rollout_us(step, st, jnp.asarray(plans[s]))
+            logpds.append(float(env.eval_xref_logpd(states)))
+        out["xref_logpd"] = logpds
+
+    path = os.path.join(results_dir, env_name.replace("+", "_"))
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, "seed_harness.npz"),
+             plans=plans, rewards=rewards, diverged=diverged,
+             config=json.dumps(out["config"]))
     print(json.dumps(out), flush=True)
+
+
+def _aggregate(rec):
+    import numpy as np
+
+    rews = np.asarray(rec["rewards"], np.float64)
+    div = np.asarray(rec["diverged"], bool)
+    clean = rews[~div]
+    row = {
+        "rew_mean": float(np.mean(rews)),
+        "rew_std": float(np.std(rews)),
+        "n_seeds": len(rews),
+        "n_diverged": int(div.sum()),
+        "per_seed": {
+            "rewards": [round(float(r), 4) for r in rews],
+            "diverged": [bool(d) for d in div],
+        },
+        "wall_s_total": rec["wall_s"],
+        "config": rec["config"],
+    }
+    if div.any():
+        # a flagged seed's reward is NOT an earned number; the honest
+        # aggregate excludes it (and says so)
+        row["rew_mean_clean"] = float(np.mean(clean)) if clean.size else None
+        row["rew_std_clean"] = float(np.std(clean)) if clean.size else None
+    if "xref_logpd" in rec:
+        lp = np.asarray(rec["xref_logpd"], np.float64)
+        row["xref_logpd_mean"] = float(np.mean(lp))
+        row["xref_logpd_std"] = float(np.std(lp))
+        row["per_seed"]["xref_logpd"] = [round(float(x), 4) for x in lp]
+    return row
 
 
 def main():
@@ -82,53 +157,41 @@ def main():
                    default=["cartpole", "hopper", "walker2d", "halfcheetah",
                             "ant", "pushT", "humanoidstandup",
                             "humanoidrun"])
-    p.add_argument("--n_seeds", type=int, default=3)
+    p.add_argument("--n_seeds", type=int, default=8)
     p.add_argument("--engine", default="")
-    p.add_argument("--timeout", type=int, default=2400)
+    p.add_argument("--chunk_size", type=int, default=50)
+    p.add_argument("--timeout", type=int, default=3600)
     p.add_argument("--out", default="docs/RESULTS.json")
+    p.add_argument("--results_dir", default="results")
     p.add_argument("--worker", default=None, help="internal: run one task")
     args = p.parse_args()
 
     if args.worker:
-        worker(args.worker, args.engine)
+        worker(args.worker, args.engine, args.n_seeds, args.chunk_size,
+               args.results_dir)
         return
-
-    import numpy as np
 
     from mbd_tpu.utils import launcher
 
-    tasks = [f"{e}:{s}" for e in args.envs for s in range(args.n_seeds)]
     records = launcher.run_tasks(
         [sys.executable, os.path.abspath(__file__), "--worker", "{task}",
-         "--engine", args.engine],
-        tasks, timeout_sec=args.timeout, retries=1, jobs=1)
+         "--engine", args.engine, "--n_seeds", str(args.n_seeds),
+         "--chunk_size", str(args.chunk_size),
+         "--results_dir", args.results_dir],
+        args.envs, timeout_sec=args.timeout, retries=1, jobs=1)
 
     results = {}
-    for e in args.envs:
-        rews = [r["result"]["final_reward"] for r in records
-                if not r.get("failed") and r["result"]["env"] == e]
-        walls = [r["result"]["wall_s"] for r in records
-                 if not r.get("failed") and r["result"]["env"] == e]
-        if not rews:
-            results[e] = {"failed": True}
+    for r in records:
+        if r.get("failed"):
+            results[r["task"]] = {"failed": True}
             continue
-        cfgs = [r["result"]["config"] for r in records
-                if not r.get("failed") and r["result"]["env"] == e]
-        results[e] = {
-            "rew_mean": float(np.mean(rews)),
-            "rew_std": float(np.std(rews)),
-            "wall_mean_s": float(np.mean(walls)),
-            "n_seeds": len(rews),
-            "config": cfgs[0],
-        }
-        logpds = [r["result"]["xref_logpd"] for r in records
-                  if not r.get("failed") and r["result"]["env"] == e
-                  and "xref_logpd" in r["result"]]
-        if logpds:
-            results[e]["xref_logpd_mean"] = float(np.mean(logpds))
-            results[e]["xref_logpd_std"] = float(np.std(logpds))
-        print(f"{e}: {np.mean(rews):.3f} ± {np.std(rews):.3f} "
-              f"({np.mean(walls):.0f}s)", flush=True)
+        rec = r["result"]
+        row = _aggregate(rec)
+        results[rec["env"]] = row
+        flag = f" ({row['n_diverged']} DIVERGED)" if row["n_diverged"] \
+            else ""
+        print(f"{rec['env']}: {row['rew_mean']:.3f} ± {row['rew_std']:.3f}"
+              f"{flag} [{rec['wall_s']}s]", flush=True)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     # merge into any existing table so partial sweeps don't clobber rows
     if os.path.exists(args.out):
