@@ -185,19 +185,43 @@ def run_multiple_seed(args) -> None:
 
 def run_multiple_temp(args) -> None:
     """Temperature sweep (reference run_mbd.py:42-64), persisted to
-    docs/RESULTS_TEMP.json (keyed by env; merged, not clobbered)."""
+    docs/RESULTS_TEMP.json (keyed by env; merged, not clobbered).
+
+    Each temperature runs ``--n_seeds`` seeds as ONE batched device
+    program (mbd.plan_batch), so the sweep reports mean ± std per temp —
+    the reference sweeps a single seed per temp serially."""
     import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import envs
+    from ..planners import mbd
 
     temps = [0.01, 0.05, 0.1, 0.2, 0.4, 0.8]
     args.disable_recommended_params = True
+    env = envs.get_env(args.env_name)
+    rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(args.n_seeds)])
     results = {}
     for t in temps:
         args.temp_sample = t
-        rew = run_single(args, render=False)
-        results[t] = rew
-        print(f"temp {t}: rew={rew:.3f}", flush=True)
-    best = max(results, key=results.get)
-    print(f"best temp: {best} (rew={results[best]:.3f})")
+        cfg = _make_cfg(args)
+        res = mbd.plan_batch(env, cfg, rngs, chunk_size=args.chunk_size)
+        rews = np.asarray(res.final_reward)
+        divs = (np.asarray(res.final_diverged)
+                if res.final_diverged is not None
+                else np.zeros(len(rews), bool))
+        results[t] = {
+            "rew_mean": float(np.mean(rews)),
+            "rew_std": float(np.std(rews)),
+            "rewards": [round(float(r), 4) for r in rews],
+            "diverged": [bool(d) for d in divs],
+        }
+        print(f"temp {t}: rew={np.mean(rews):.3f} ± {np.std(rews):.3f}"
+              + (f" ({int(divs.sum())} diverged)" if divs.any() else ""),
+              flush=True)
+    best = max(results, key=lambda t: results[t]["rew_mean"])
+    print(f"best temp: {best} (rew={results[best]['rew_mean']:.3f})")
 
     out = os.path.join("docs", "RESULTS_TEMP.json")
     table = {}
@@ -205,10 +229,10 @@ def run_multiple_temp(args) -> None:
         with open(out) as f:
             table = json.load(f)
     table[args.env_name] = {
-        "sweep": {str(t): float(r) for t, r in results.items()},
+        "sweep": {str(t): r for t, r in results.items()},
         "best_temp": best,
-        "best_reward": float(results[best]),
-        "seed": args.seed,
+        "best_reward": results[best]["rew_mean"],
+        "n_seeds": args.n_seeds,
         "config": dict(Nsample=args.Nsample, Hsample=args.Hsample,
                        Ndiffuse=args.Ndiffuse),
     }

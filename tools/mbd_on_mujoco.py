@@ -168,7 +168,8 @@ def main():
     p.add_argument("--nsample", type=int, default=128)
     p.add_argument("--ndiffuse", type=int, default=0,
                    help="0 = env-recommended")
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seeds", type=int, nargs="+", default=[0],
+                   help="multi-seed: mean ± std recorded per env")
     p.add_argument("--out", default="docs/RESULTS_MBD_ON_MUJOCO.json")
     args = p.parse_args()
 
@@ -180,13 +181,22 @@ def main():
         with open(args.out) as f:
             results = json.load(f)
     for name in args.envs:
-        try:
-            res = run_env(name, args.nsample, args.ndiffuse, args.seed)
-        except Exception as e:  # keep going; record the failure loudly
-            res = {"env": name, "failed": True,
-                   "error": f"{type(e).__name__}: {e}"}
-        print(json.dumps(res), flush=True)
-        results[name] = res
+        runs = []
+        for seed in args.seeds:
+            try:
+                res = run_env(name, args.nsample, args.ndiffuse, seed)
+            except Exception as e:  # keep going; record the failure loudly
+                res = {"env": name, "seed": seed, "failed": True,
+                       "error": f"{type(e).__name__}: {e}"}
+            print(json.dumps(res), flush=True)
+            runs.append(res)
+        ok = [r for r in runs if not r.get("failed")]
+        row = {"runs": runs, "n_seeds": len(args.seeds)}
+        if ok:
+            rews = [r["reward_mbd_on_mujoco"] for r in ok]
+            row["reward_mean"] = float(np.mean(rews))
+            row["reward_std"] = float(np.std(rews))
+        results[name] = row
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
     print(f"wrote {args.out}")

@@ -24,9 +24,16 @@ def main():
     p.add_argument("--dim", type=int, default=800)
     p.add_argument("--n_seeds", type=int, default=6)
     p.add_argument("--out_dir", default="results/bbo")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin to CPU (the workload is tiny; frees the TPU "
+                        "for concurrent campaigns — this box's "
+                        "sitecustomize ignores JAX_PLATFORMS)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from mbd_tpu.blackbox import bbo
