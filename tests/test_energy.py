@@ -19,38 +19,49 @@ from mbd_tpu.sim import pipeline as P
 
 
 def _audit(env, us, seed=0):
+    """One jitted scan over the whole rollout (the eager per-substep loop
+    cost ~1 min/test on the 1-core CI host; this compiles once and reuses
+    the persistent cache across runs)."""
     sys_ = env.sys
     rng_reset = jax.random.split(jax.random.PRNGKey(seed))[1]
     st = env.reset(rng_reset)
-    q = jnp.asarray(st.pipeline_state.q)
-    qd = jnp.asarray(st.pipeline_state.qd)
     g = 9.81
-    damping = np.asarray(sys_.dof_damping)
+    damping = jnp.asarray(sys_.dof_damping)
+    h = float(np.asarray(sys_.dt))
 
-    def energies(q, qd):
+    def energy(q, qd):
         kin = kinematics.fk(sys_, q)
         M, _, _, _ = dynamics.smooth_terms(sys_, kin, qd)
-        ke = 0.5 * qd @ (M @ qd)
-        pe = (sys_.body_mass[1:] * g * kin.xpos[1:, 2]).sum()
-        return float(ke), float(pe)
+        return 0.5 * qd @ (M @ qd) + \
+            (sys_.body_mass[1:] * g * kin.xpos[1:, 2]).sum()
 
-    substep = jax.jit(lambda q, qd, u: P._substep(sys_, q, qd, u))
-    act = jax.jit(lambda u: dynamics.actuator_force(sys_, u))
-    h = float(np.asarray(sys_.dt))
-    e0 = sum(energies(q, qd))
-    W = Wd = 0.0
-    defects, qd_peaks = [], []
-    for t in range(us.shape[0]):
-        u = jnp.asarray(us[t], jnp.float32)
-        tau = act(u)
-        for _ in range(env.n_frames):
-            qd_prev = qd
-            q, qd = substep(q, qd, u)
-            qd_mid = 0.5 * (qd_prev + qd)
-            W += float(tau @ qd_mid) * h
-            Wd += float((damping * np.asarray(qd_mid) ** 2).sum()) * h
-        defects.append(sum(energies(q, qd)) - e0 - W + Wd)
-        qd_peaks.append(float(jnp.abs(qd).max()))
+    def step(carry, u):
+        q, qd, W, Wd = carry
+        tau = dynamics.actuator_force(sys_, u)
+
+        def sub(c, _):
+            q, qd, W, Wd = c
+            qn, qdn = P._substep(sys_, q, qd, u)
+            qd_mid = 0.5 * (qd + qdn)
+            return (qn, qdn, W + (tau @ qd_mid) * h,
+                    Wd + (damping * qd_mid ** 2).sum() * h), None
+
+        (q, qd, W, Wd), _ = jax.lax.scan(
+            sub, (q, qd, W, Wd), None, length=env.n_frames)
+        return (q, qd, W, Wd), (energy(q, qd) - W + Wd,
+                                jnp.abs(qd).max())
+
+    @jax.jit
+    def run(q0, qd0, us):
+        e0 = energy(q0, qd0)
+        zero = jnp.zeros((), q0.dtype)
+        (q, qd, _, _), (series, peaks) = jax.lax.scan(
+            step, (q0, qd0, zero, zero), us)
+        return series - e0, peaks, q, qd
+
+    defects, qd_peaks, q, qd = run(jnp.asarray(st.pipeline_state.q),
+                                   jnp.asarray(st.pipeline_state.qd),
+                                   jnp.asarray(us, jnp.float32))
     return np.asarray(defects), np.asarray(qd_peaks), (q, qd)
 
 

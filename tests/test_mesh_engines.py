@@ -31,37 +31,43 @@ def mesh():
     return sample_mesh()
 
 
-CFG = dict(Nsample=64, Hsample=10, Ndiffuse=8, temp_sample=0.1)
+CFG = dict(Nsample=64, Hsample=10, Ndiffuse=5, temp_sample=0.1)
+
+
+@pytest.fixture(scope="module")
+def r_ref_fused(hopper):
+    """Shared unsharded fused-engine reference denoise (one compile+run
+    for the module instead of per-test)."""
+    return mbd.plan(hopper, mbd.MBDConfig(**CFG), jax.random.PRNGKey(0),
+                    engine="fused")
 
 
 @pytest.mark.slow
-def test_mbd_pallas_meshed_matches_fused_unsharded(hopper, mesh):
+def test_mbd_pallas_meshed_matches_fused_unsharded(hopper, mesh, r_ref_fused):
     """The meshed Pallas engine (shard_map, interpret mode on CPU) must
     reproduce the unsharded fused-engine denoise trace: identical RNG
     stream -> identical sampled controls -> traces agree to f32 rollout
     tolerance."""
     cfg = mbd.MBDConfig(**CFG)
-    r_ref = mbd.plan(hopper, cfg, jax.random.PRNGKey(0), engine="fused")
     r_mesh = mbd.plan(hopper, cfg, jax.random.PRNGKey(0), mesh=mesh,
                       engine="pallas")
-    np.testing.assert_allclose(np.asarray(r_ref.rews_trace),
+    np.testing.assert_allclose(np.asarray(r_ref_fused.rews_trace),
                                np.asarray(r_mesh.rews_trace), atol=5e-3)
 
 
 @pytest.mark.slow
-def test_mbd_fused_meshed_matches_unsharded(hopper, mesh):
+def test_mbd_fused_meshed_matches_unsharded(hopper, mesh, r_ref_fused):
     cfg = mbd.MBDConfig(**CFG)
-    r_ref = mbd.plan(hopper, cfg, jax.random.PRNGKey(0), engine="fused")
     r_mesh = mbd.plan(hopper, cfg, jax.random.PRNGKey(0), mesh=mesh,
                       engine="fused")
-    np.testing.assert_allclose(np.asarray(r_ref.rews_trace),
+    np.testing.assert_allclose(np.asarray(r_ref_fused.rews_trace),
                                np.asarray(r_mesh.rews_trace), atol=5e-3)
 
 
 @pytest.mark.slow
 def test_path_integral_fused_meshed_matches_unsharded(hopper, mesh):
     cfg = path_integral.PathIntegralConfig(
-        update_method="mppi", Nsample=64, Hsample=10, Nrefine=8)
+        update_method="mppi", Nsample=64, Hsample=10, Nrefine=5)
     r_ref = path_integral.plan(hopper, cfg, jax.random.PRNGKey(0),
                                engine="fused")
     r_mesh = path_integral.plan(hopper, cfg, jax.random.PRNGKey(0),

@@ -33,7 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def energy_defect(env, us, seed: int):
     """Max energy defect (J) over the rollout, per the energy-audit
-    criteria (substep trapezoid work accounting, pipeline engine)."""
+    criteria (substep trapezoid work accounting, pipeline engine).
+
+    Runs as ONE jitted ``lax.scan`` device program — the eager per-substep
+    loop of tools/energy_audit.py costs a tunnel round trip per op on the
+    axon TPU and is unusable there."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,36 +49,42 @@ def energy_defect(env, us, seed: int):
     rng = jax.random.PRNGKey(seed)
     _, rng_reset = jax.random.split(rng)
     st = env.reset(rng_reset)
-    q = jnp.asarray(st.pipeline_state.q)
-    qd = jnp.asarray(st.pipeline_state.qd)
-    damping = np.asarray(jax.device_get(sys_.dof_damping))
+    damping = jnp.asarray(sys_.dof_damping)
     g = 9.81
+    h = float(np.asarray(jax.device_get(sys_.dt)))
 
-    def energies(q, qd):
+    def energy(q, qd):
         kin = kinematics.fk(sys_, q)
         M, _, _, _ = dynamics.smooth_terms(sys_, kin, qd)
         ke = 0.5 * qd @ (M @ qd)
         pe = (sys_.body_mass[1:] * g * kin.xpos[1:, 2]).sum()
-        return float(ke), float(pe)
+        return ke + pe
 
-    substep = jax.jit(lambda q, qd, u: P._substep(sys_, q, qd, u))
-    act = jax.jit(lambda u: dynamics.actuator_force(sys_, u))
-    ke0, pe0 = energies(q, qd)
-    W = Wd = 0.0
-    h = float(np.asarray(jax.device_get(sys_.dt)))
-    worst = 0.0
-    for t in range(us.shape[0]):
-        u = jnp.asarray(us[t], jnp.float32)
-        tau = act(u)
-        for _ in range(env.n_frames):
-            qd_prev = qd
-            q, qd = substep(q, qd, u)
-            qd_mid = 0.5 * (qd_prev + qd)
-            W += float(tau @ qd_mid) * h
-            Wd += float((damping * np.asarray(qd_mid) ** 2).sum()) * h
-        ke, pe = energies(q, qd)
-        worst = max(worst, (ke + pe) - (ke0 + pe0) - W + Wd)
-    return worst
+    def step(carry, u):
+        q, qd, W, Wd = carry
+        tau = dynamics.actuator_force(sys_, u)
+
+        def sub(c, _):
+            q, qd, W, Wd = c
+            qn, qdn = P._substep(sys_, q, qd, u)
+            qd_mid = 0.5 * (qd + qdn)
+            return (qn, qdn, W + (tau @ qd_mid) * h,
+                    Wd + (damping * qd_mid ** 2).sum() * h), None
+
+        (q, qd, W, Wd), _ = jax.lax.scan(
+            sub, (q, qd, W, Wd), None, length=env.n_frames)
+        return (q, qd, W, Wd), energy(q, qd) - W + Wd
+
+    @jax.jit
+    def audit(q0, qd0, us):
+        e0 = energy(q0, qd0)
+        zero = jnp.zeros((), q0.dtype)
+        _, series = jax.lax.scan(step, (q0, qd0, zero, zero), us)
+        return jnp.max(series - e0)
+
+    return float(audit(jnp.asarray(st.pipeline_state.q),
+                       jnp.asarray(st.pipeline_state.qd),
+                       jnp.asarray(us, jnp.float32)))
 
 
 def main():
@@ -115,8 +125,8 @@ def main():
     shim = SimpleNamespace(pipeline_state=SimpleNamespace(
         q=states_init.pipeline_state.q.T,
         qd=states_init.pipeline_state.qd.T))
-    rews, ps, bad = jax.jit(lambda s, y: rollout_rewards(
-        env, s, y, need_states=True))(shim, jnp.asarray(plans))
+    rews, ps, bad = jax.jit(lambda y: rollout_rewards(
+        env, shim, y, need_states=True))(jnp.asarray(plans))
     rews = np.asarray(rews)                                # [S, H]
     pos = np.asarray(ps.x.pos)                             # [H, S, nlink, 3]
     qd_tr = np.asarray(ps.qd)                              # [H, S, nv]

@@ -97,8 +97,8 @@ def worker(task: str, engine: str, n_seeds: int, chunk_size: int,
         shim = SimpleNamespace(pipeline_state=SimpleNamespace(
             q=states_init.pipeline_state.q.T,
             qd=states_init.pipeline_state.qd.T))
-        _, ps, _ = jax.jit(lambda s, y: rollout_rewards(
-            env, s, y, need_states=True))(shim, jnp.asarray(plans))
+        _, ps, _ = jax.jit(lambda y: rollout_rewards(
+            env, shim, y, need_states=True))(jnp.asarray(plans))
         logpd = env.traj_xref_logpd(ps)
         out["xref_logpd"] = [float(x) for x in np.asarray(logpd)]
     elif hasattr(env, "eval_xref_logpd"):
