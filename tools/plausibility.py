@@ -31,60 +31,85 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def energy_defect(env, us, seed: int):
-    """Max energy defect (J) over the rollout, per the energy-audit
-    criteria (substep trapezoid work accounting, pipeline engine).
+def energy_audit_batched(env, plans, states_init):
+    """Per-seed max mechanical-energy defect along the CHECKED batch-engine
+    trajectory — the exact engine, clamps included, that produced the
+    published rewards (auditing a *different* engine's trajectory, as the
+    pipeline-based tools/energy_audit.py does, is meaningless once the two
+    engines' chaotic rollouts separate).
 
-    Runs as ONE jitted ``lax.scan`` device program — the eager per-substep
-    loop of tools/energy_audit.py costs a tunnel round trip per op on the
-    axon TPU and is unusable there."""
+    defect(t) = [KE+PE](t) − [KE+PE](0) − W_act(t) + W_damp(t), trapezoid
+    work integrals per substep; the qd clamp at QD_DIVERGED only removes
+    energy. plans [S, H, nu] → (max_defect [S], final_defect [S])."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from mbd_tpu.sim import dynamics, kinematics
-    from mbd_tpu.sim import pipeline as P
+    from mbd_tpu.sim import batched as BT
 
     sys_ = env.sys
-    rng = jax.random.PRNGKey(seed)
-    _, rng_reset = jax.random.split(rng)
-    st = env.reset(rng_reset)
-    damping = jnp.asarray(sys_.dof_damping)
-    g = 9.81
+    S, H, nu = plans.shape
+    tc_pairs = BT.topo(sys_).dof_pairs
     h = float(np.asarray(jax.device_get(sys_.dt)))
+    damping = np.asarray(jax.device_get(sys_.dof_damping))
+    gear = np.asarray(jax.device_get(sys_.actuator_gear))
+    crange = np.asarray(jax.device_get(sys_.actuator_ctrlrange))
+    masses = np.asarray(jax.device_get(sys_.body_mass))
+    ipos = np.asarray(jax.device_get(sys_.body_ipos))
+    g = -float(np.asarray(jax.device_get(sys_.gravity))[2])
 
     def energy(q, qd):
-        kin = kinematics.fk(sys_, q)
-        M, _, _, _ = dynamics.smooth_terms(sys_, kin, qd)
-        ke = 0.5 * qd @ (M @ qd)
-        pe = (sys_.body_mass[1:] * g * kin.xpos[1:, 2]).sum()
+        kin = BT.fk_b(sys_, q)
+        M_low, _, _ = BT.smooth_b(sys_, kin, qd)
+        ke = 0.0
+        for (i, j) in tc_pairs:
+            w = 1.0 if i == j else 2.0
+            ke = ke + 0.5 * w * M_low[(i, j)] * qd[i] * qd[j]
+        pe = 0.0
+        for b in range(1, sys_.nbody):
+            com_z = (kin.xpos[b] + BT.qrot(
+                kin.xquat[b], BT.constv(ipos[b], q.shape[1:], q.dtype)))[2]
+            pe = pe + float(masses[b]) * g * com_z
         return ke + pe
+
+    def tau_rows(u):
+        tau = [0.0] * sys_.nv
+        for a in range(sys_.nu):
+            dadr = sys_.jnt_dofadr[sys_.actuator_jntid[a]]
+            tau[dadr] = tau[dadr] + float(gear[a]) * jnp.clip(
+                u[a], float(crange[a, 0]), float(crange[a, 1]))
+        return tau
 
     def step(carry, u):
         q, qd, W, Wd = carry
-        tau = dynamics.actuator_force(sys_, u)
+        tau = tau_rows(u)
 
         def sub(c, _):
             q, qd, W, Wd = c
-            qn, qdn = P._substep(sys_, q, qd, u)
+            qn, qdn = BT.substep_b(sys_, q, qd, u)
+            qdn = jnp.clip(qdn, -BT.QD_DIVERGED, BT.QD_DIVERGED)
             qd_mid = 0.5 * (qd + qdn)
-            return (qn, qdn, W + (tau @ qd_mid) * h,
-                    Wd + (damping * qd_mid ** 2).sum() * h), None
+            dW = sum(t * qd_mid[i] for i, t in enumerate(tau)
+                     if not isinstance(t, float))
+            dWd = sum(float(damping[i]) * qd_mid[i] ** 2
+                      for i in range(sys_.nv))
+            return (qn, qdn, W + h * dW, Wd + h * dWd), None
 
         (q, qd, W, Wd), _ = jax.lax.scan(
             sub, (q, qd, W, Wd), None, length=env.n_frames)
         return (q, qd, W, Wd), energy(q, qd) - W + Wd
 
     @jax.jit
-    def audit(q0, qd0, us):
+    def audit(q0, qd0, U):
         e0 = energy(q0, qd0)
-        zero = jnp.zeros((), q0.dtype)
-        _, series = jax.lax.scan(step, (q0, qd0, zero, zero), us)
-        return jnp.max(series - e0)
+        zero = jnp.zeros(q0.shape[1:], q0.dtype)
+        _, series = jax.lax.scan(step, (q0, qd0, zero, zero), U)
+        return series - e0                                  # [H, S]
 
-    return float(audit(jnp.asarray(st.pipeline_state.q),
-                       jnp.asarray(st.pipeline_state.qd),
-                       jnp.asarray(us, jnp.float32)))
+    U = jnp.transpose(jnp.asarray(plans, jnp.float32), (1, 2, 0))
+    series = np.asarray(audit(states_init.pipeline_state.q.T,
+                              states_init.pipeline_state.qd.T, U))
+    return series.max(axis=0), series[-1]
 
 
 def main():
@@ -169,14 +194,17 @@ def main():
     }
 
     if not args.skip_energy:
-        # audit the seed with the highest reward (the one that would headline)
-        s_best = int(np.argmax([r["resim_reward"] for r in seeds_out]))
+        max_def, final_def = energy_audit_batched(env, plans, states_init)
+        for s, r in enumerate(seeds_out):
+            r["max_energy_defect_J"] = round(float(max_def[s]), 2)
         out["energy_audit"] = {
-            "seed": s_best,
-            "max_energy_defect_J": round(
-                energy_defect(env, plans[s_best], s_best), 3),
-            "criteria": "KE+PE-W_act+W_damp must not grow "
-                        "(tools/energy_audit.py)",
+            "max_defect_J_per_seed": [round(float(x), 2) for x in max_def],
+            "final_defect_J_per_seed": [round(float(x), 2)
+                                        for x in final_def],
+            "criteria": "defect = KE+PE-W_act+W_damp along the CHECKED "
+                        "batch-engine trajectory (the engine that produced "
+                        "the published rewards); must never grow — "
+                        "contacts/limits/clamps only store or dissipate",
         }
 
     out_path = args.out or f"docs/{args.env.upper()}_PLAUSIBILITY.json"
