@@ -102,6 +102,11 @@ def main(argv=None):
     p.add_argument("--not_render", action="store_true")
     p.add_argument("--out", default="docs/RESULTS_RL.json",
                    help="persist learning curve + eval here ('' = skip)")
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training: run a minimal iteration to build "
+                        "the params template, load the saved "
+                        "params.msgpack over it, re-run the eval (+render)"
+                        " and update only the eval fields in --out")
     args = p.parse_args(argv)
 
     import jax
@@ -132,11 +137,25 @@ def main(argv=None):
         print(f"step: {num_steps}, episode return: "
               f"{metrics['eval/episode_reward']:.2f}", flush=True)
 
+    if args.eval_only:
+        # one minimal training iteration yields the params TEMPLATE and
+        # make_inference_fn without paying for a real run
+        import dataclasses
+        if args.env_name in SAC_CONFIGS:
+            cfg = dataclasses.replace(
+                cfg, num_timesteps=hp["min_replay_size"] * 2, num_evals=1)
+        else:
+            cfg = dataclasses.replace(cfg, num_timesteps=1, num_evals=1)
+        progress = None
+
     make_inference_fn, params, history = trainer(env, cfg, progress)
 
     path = os.path.join(args.results_dir, args.env_name)
     os.makedirs(path, exist_ok=True)
-    save_params(os.path.join(path, "params.msgpack"), params)
+    if args.eval_only:
+        params = load_params(os.path.join(path, "params.msgpack"), params)
+    else:
+        save_params(os.path.join(path, "params.msgpack"), params)
 
     # post-train eval: 8 seeds × 50 steps (40 for pushT), reference
     # train_brax.py:206-225. The guard keeps an engine blow-up under an
@@ -178,6 +197,13 @@ def main(argv=None):
         if os.path.exists(args.out):
             with open(args.out) as f:
                 table = json.load(f)
+        if args.eval_only and args.env_name in table:
+            # keep the real run's curve/budget; refresh only the eval
+            record = dict(table[args.env_name])
+            record.update(eval_mean=float(np.mean(rews)),
+                          eval_std=float(np.std(rews)),
+                          eval_protocol=f"8 seeds x {n_steps} steps, "
+                                        "mean step reward")
         table[args.env_name] = record
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:

@@ -616,22 +616,39 @@ def collide_b(sys: System, kin: KinB) -> List[ContactB]:
 
 def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
                    cons: List[ContactB], fac: LDL,
-                   rhs: List[Arr], h: float) -> List[Arr]:
-    """Accumulate contact forces into the net-force list ``rhs``
-    (= qfrc − bias − damping·qd, list of [B] per dof).
+                   rhs: List[Arr], h: float,
+                   qd: Arr = None,
+                   limits: List[Tuple[int, float, Arr]] = ()) -> List[Arr]:
+    """Accumulate contact AND joint-limit forces into the net-force list
+    ``rhs`` (= qfrc − bias − damping·qd, list of [B] per dof).
+    ``limits`` entries are (dof, sign, violation[B]) unilateral 1-dof
+    constraints (sign +1 = lower limit pushing q up); they join the same
+    PGS sweep as contacts, ordered after them.
 
-    The impulse cap is computed against the PRE-contact ``rhs`` snapshot
-    (Jacobi — all contacts see the same prediction), matching
-    sim/contact.py's batched formulation so the engines stay in parity.
+    Projected Gauss–Seidel over the contact set (constants + rationale:
+    sim/contact.py, which runs the SAME sweeps in the same
+    sys.contact_pairs order so the engines stay in parity): each
+    contact's accumulated normal force moves toward the value that
+    leaves its predicted normal velocity — under ALL forces accumulated
+    into the running ``rhs`` so far — at the bounded Baumgarte pushout,
+    projected to [0, m_eff·a_ref]. The earlier single-pass Jacobi cap
+    (every contact against the same pre-contact snapshot) let N
+    simultaneous contacts sharing the root each cancel the FULL approach
+    velocity: the summed impulse acted as a trampoline (ant plans
+    ballistic to 30 m, humanoid belly-flops rebounding at 0.8× impact
+    speed; docs/ANT_PLAUSIBILITY.json pre-GS). Statics are unchanged: in
+    stance the spring reference caps the force either way.
     """
-    from .contact import BAUMGARTE_BETA, V_PUSH_MAX
+    from .contact import BAUMGARTE_BETA, N_GS_PASSES, V_PUSH_MAX
 
     tc = topo(sys)
     k = float(np.asarray(sys.contact_stiffness))
     bdamp = float(np.asarray(sys.contact_damping))
     eps = float(np.asarray(sys.friction_vel_tol))
-    rhs_pre = list(rhs)
 
+    # per-contact static data (Jacobian rows, effective mass, caps) — the
+    # ldl_solve per contact happens ONCE, outside the sweep loop
+    pre = []
     for con in cons:
         dofs_b = tc.ancdof_body[con.body_b]
         dofs_a = tc.ancdof_body[con.body_a]
@@ -666,31 +683,60 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
         m_eff = 1.0 / (jmj + 1e-8)
 
         active = con.depth > 0.0
-        # impulse cap against the predicted normal velocity (constants +
-        # rationale: sim/contact.py): the contact may cancel the approach
-        # velocity this substep's forces would produce, plus a bounded
-        # Baumgarte pushout — never inject bounce energy. vn_pred uses
-        # J M̃⁻¹ rhs_pre = (M̃⁻¹Jᵀ)·rhs_pre (MinvJ already solved above).
         a_ref = jnp.maximum(k * con.depth - bdamp * vn, 0.0)
-        jacc = None
-        for i in range(sys.nv):
-            if MinvJ[i] is None:     # sparse solve keeps untouched dofs None
-                continue
-            t = MinvJ[i] * rhs_pre[i]
-            jacc = t if jacc is None else jacc + t
-        vn_pred = vn + h * jacc
+        fn_max = m_eff * a_ref * active
         v_bias = jnp.minimum(
             BAUMGARTE_BETA * jnp.maximum(con.depth, 0.0) / h, V_PUSH_MAX)
-        a_cap = jnp.maximum(v_bias - vn_pred, 0.0) / h
-        fn = m_eff * jnp.minimum(a_ref, a_cap) * active
+        # spatial force row for unit normal force (friction tied in at μ,
+        # direction fixed from the pre-contact tangent velocity)
         t_dir = vt / jnp.sqrt(dot3(vt, vt) + eps * eps)
-        F = fn * n - con.mu * fn * t_dir
-        pxF = cross(p, F)
+        d = n - con.mu * t_dir
+        pxd = cross(p, d)
+        rows = {}
         for i in dofs:
             S = kin.S[i]
-            rhs[i] = rhs[i] + sgn[i] * (
-                S[0] * pxF[0] + S[1] * pxF[1] + S[2] * pxF[2]
-                + S[3] * F[0] + S[4] * F[1] + S[5] * F[2])
+            rows[i] = sgn[i] * (S[0] * pxd[0] + S[1] * pxd[1]
+                                + S[2] * pxd[2] + S[3] * d[0]
+                                + S[4] * d[1] + S[5] * d[2])
+        pre.append((dofs, MinvJ, m_eff, vn, v_bias, fn_max, rows))
+
+    # joint limits as 1-dof unilateral constraints: Jacobian row s·e_d,
+    # exact effective mass from the SAME implicit-damped factorization,
+    # spring reference k_lim·violation, bounded Baumgarte pushout —
+    # identical solver semantics to contacts
+    k_lim = float(np.asarray(sys.limit_stiffness))
+    minvE_cache: Dict[int, List] = {}
+    for dadr, s, vio in limits:
+        if dadr not in minvE_cache:
+            e_rows: List = [None] * sys.nv
+            e_rows[dadr] = jnp.ones_like(vio)
+            minvE_cache[dadr] = ldl_solve(fac, e_rows)
+        MinvE = minvE_cache[dadr]
+        MinvJ = [None if x is None else s * x for x in MinvE]
+        m_eff = 1.0 / (MinvE[dadr] + 1e-8)
+        active = vio > 0.0
+        vn = s * qd[dadr]
+        v_bias = jnp.minimum(BAUMGARTE_BETA * vio / h, V_PUSH_MAX)
+        fn_max = m_eff * k_lim * vio * active
+        pre.append(([dadr], MinvJ, m_eff, vn, v_bias, fn_max, {dadr: s}))
+
+    fns = [0.0] * len(pre)          # accumulated normal force per contact
+    for _ in range(N_GS_PASSES):
+        for c, (dofs, MinvJ, m_eff, vn, v_bias, fn_max, rows) in \
+                enumerate(pre):
+            jacc = None
+            for i in range(sys.nv):
+                if MinvJ[i] is None:  # sparse solve: untouched dofs None
+                    continue
+                t = MinvJ[i] * rhs[i]
+                jacc = t if jacc is None else jacc + t
+            vn_pred = vn + h * jacc
+            fn_new = jnp.clip(fns[c] + m_eff * (v_bias - vn_pred) / h,
+                              0.0, fn_max)
+            dfn = fn_new - fns[c]
+            fns[c] = fn_new
+            for i in dofs:
+                rhs[i] = rhs[i] + rows[i] * dfn
     return rhs
 
 
@@ -747,11 +793,16 @@ def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr):
         u = jnp.clip(ctrl[a], float(crange[a, 0]), float(crange[a, 1]))
         qfrc[dadr] = qfrc[dadr] + float(gear[a]) * u
 
-    # joint springs + limit SPRING (limit damping is implicit — see above).
-    # Effective inertia for the spring: rest-pose exact 1/(M(q0)⁻¹)_ii,
-    # precomputed on the host; the spring alone satisfies h·√(k·ratio) ≪ 2
-    # even with a few× pose error, and the impulse cap bounds extremes.
+    # joint springs. Joint LIMITS are unilateral constraints, solved in
+    # the same projected-Gauss–Seidel sweep as contacts (see
+    # contact_qfrc_b) — the earlier explicit limit spring with a per-dof
+    # rest-pose effective mass and a per-dof velocity-cancelling cap
+    # ignored coupling through M⁻¹: a crumpling humanoid with many joints
+    # slamming their limits at once rebounded at 0.8× its impact speed
+    # (each limit cancelled its own violating velocity, the sum catapulted
+    # the root). Limit DAMPING stays implicit via extra_diag (above).
     qspring = np.asarray(sys.qpos_spring)
+    limits = []
     for j in range(sys.njnt):
         if sys.jnt_type[j] not in (SLIDE, HINGE):
             continue
@@ -760,25 +811,15 @@ def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr):
             qfrc[dadr] = qfrc[dadr] - float(stiff[j]) * (
                 q[qadr] - float(qspring[qadr]))
         if sys.jnt_limited[j]:
-            below, above = lim_below[dadr], lim_above[dadr]
-            m_eff = float(meff_rest[dadr])
-            a_ref = k_lim * (below - above)
-            # impulse cap with bounded pushout (see sim/contact.py): the
-            # limit spring may cancel the violating velocity but add at most
-            # V_PUSH_MAX outgoing — same anti-trampoline rule as contacts
-            from .contact import V_PUSH_MAX
-            cap_pos = jnp.maximum(-qd[dadr], 0.0) / h + jnp.minimum(
-                k_lim * below, V_PUSH_MAX / h)
-            cap_neg = -(jnp.maximum(qd[dadr], 0.0) / h + jnp.minimum(
-                k_lim * above, V_PUSH_MAX / h))
-            a_ref = jnp.clip(a_ref, cap_neg, cap_pos)
-            qfrc[dadr] = qfrc[dadr] + m_eff * a_ref
+            limits.append((dadr, 1.0, lim_below[dadr]))
+            limits.append((dadr, -1.0, lim_above[dadr]))
 
     rhs = [qfrc[i] - bias[i] - float(damping[i]) * qd[i]
            for i in range(sys.nv)]
-    if sys.contact_pairs:
-        cons = collide_b(sys, kin)
-        rhs = contact_qfrc_b(sys, kin, v_b, cons, fac, rhs, h)
+    cons = collide_b(sys, kin) if sys.contact_pairs else []
+    if cons or limits:
+        rhs = contact_qfrc_b(sys, kin, v_b, cons, fac, rhs, h,
+                             qd=qd, limits=limits)
     qacc = ldl_solve(fac, rhs)
 
     qd_new = jnp.stack([qd[i] + h * qacc[i] for i in range(sys.nv)])

@@ -115,41 +115,41 @@ def passive_force(sys: System, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros(sys.nv, q.dtype).at[dadr].set(spring)
 
 
-def limit_force(sys: System, q: jnp.ndarray,
-                qd: jnp.ndarray) -> jnp.ndarray:
-    """Joint-limit penalty torque: effective-mass-scaled acceleration spring
-    (same solver model as contacts — see sim/contact.py). The effective
-    inertia is the precomputed rest-pose 1/(M(q0)⁻¹)_ii
-    (System.dof_limit_meff): runtime-free and close enough; the impulse cap
-    bounds pose-dependence error. (The M_ii diagonal over-estimates coupled
-    dofs badly enough to destabilize the penalty — measured.)"""
+def limit_constraints(sys: System, q: jnp.ndarray):
+    """Joint limits as unilateral 1-dof constraints for the PGS sweep
+    (sim/contact.py): returns (dadr (L,) int, sign (L,) float,
+    violation (L,) jnp) with one lower (+1) and one upper (-1) entry per
+    limited 1-dof joint, ordered by joint id — the SAME order
+    sim/batched.py builds its limit list, so the engines stay in parity —
+    or None when nothing is limited.
+
+    The earlier explicit limit-penalty torque (per-dof rest-pose
+    effective mass, per-dof velocity-cancelling cap) ignored coupling
+    through M⁻¹: many joints slamming their limits at once each
+    cancelled their own violating velocity and the summed impulse
+    catapulted the root (humanoid drop rebounding at 0.8× impact speed).
+    Limit damping stays implicit (limit_implicit_damping)."""
+    import numpy as np
     qadr_all, dadr_all, jids_all = _onedof_maps(sys)
     keep = [i for i, j in enumerate(jids_all) if sys.jnt_limited[j]]
     if not keep:
-        return jnp.zeros(sys.nv, q.dtype)
+        return None
     keep = np.asarray(keep, np.int32)
     qadr, dadr, jids = qadr_all[keep], dadr_all[keep], jids_all[keep]
     lo = sys.jnt_range[jids, 0]
     hi = sys.jnt_range[jids, 1]
-    qj, qdj = q[qadr], qd[dadr]
+    qj = q[qadr]
     below = jnp.maximum(lo - qj, 0.0)
     above = jnp.maximum(qj - hi, 0.0)
-    m_eff = sys.dof_limit_meff[dadr]
-    # spring only — limit DAMPING is handled implicitly in the integrator
-    # matrix (see limit_implicit_damping / pipeline._substep): explicit
-    # velocity damping with an approximate m_eff violates h·b_eff < 2.
-    a_ref = sys.limit_stiffness * (below - above)
-    # impulse cap with bounded pushout (see sim/contact.py): at most stop
-    # the violating velocity and add V_PUSH_MAX of outgoing velocity — the
-    # unbounded k·violation pushout was an energy trampoline
-    from .contact import V_PUSH_MAX
-    h = sys.dt
-    cap_pos = jnp.maximum(-qdj, 0.0) / h + jnp.minimum(
-        sys.limit_stiffness * below, V_PUSH_MAX / h)
-    cap_neg = -(jnp.maximum(qdj, 0.0) / h + jnp.minimum(
-        sys.limit_stiffness * above, V_PUSH_MAX / h))
-    a_ref = jnp.clip(a_ref, cap_neg, cap_pos)
-    return jnp.zeros(sys.nv, q.dtype).at[dadr].set(m_eff * a_ref)
+    L = len(keep)
+    out_dadr = np.empty(2 * L, np.int32)
+    out_sign = np.empty(2 * L, np.float64)
+    out_dadr[0::2] = dadr
+    out_dadr[1::2] = dadr
+    out_sign[0::2] = 1.0
+    out_sign[1::2] = -1.0
+    vio = jnp.stack([below, above], axis=1).reshape(-1)
+    return out_dadr, out_sign, vio
 
 
 def limit_implicit_damping(sys: System, q: jnp.ndarray) -> jnp.ndarray:

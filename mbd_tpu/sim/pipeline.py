@@ -121,14 +121,19 @@ def _substep(sys: System, q: jnp.ndarray, qd: jnp.ndarray,
 
     tau = dynamics.actuator_force(sys, ctrl)
     tau = tau + dynamics.passive_force(sys, q, qd)
-    tau = tau + dynamics.limit_force(sys, q, qd)
 
     rhs = tau - qfrc_bias - sys.dof_damping * qd
-    if sys.contact_pairs:
-        gpos, gquat = kinematics.geom_poses(sys, kin)
-        con = collision.collide(sys, gpos, gquat)
-        # rhs (pre-contact) feeds the predicted-velocity impulse cap
-        rhs = rhs + contact.contact_force(sys, kin, v_b, con, Minv, rhs)
+    # contacts + joint limits solved together as one PGS sweep (limits
+    # are 1-dof unilateral constraints — see dynamics.limit_constraints)
+    lim = dynamics.limit_constraints(sys, q)
+    if sys.contact_pairs or lim is not None:
+        con = None
+        if sys.contact_pairs:
+            gpos, gquat = kinematics.geom_poses(sys, kin)
+            con = collision.collide(sys, gpos, gquat)
+        # rhs (pre-constraint) feeds the predicted-velocity impulse cap
+        rhs = rhs + contact.contact_force(sys, kin, v_b, con, Minv, rhs,
+                                          qd, lim)
     qacc = Minv @ rhs
 
     qd_new = qd + h * qacc
