@@ -720,8 +720,13 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
         fn_max = m_eff * k_lim * vio * active
         pre.append(([dadr], MinvJ, m_eff, vn, v_bias, fn_max, {dadr: s}))
 
-    fns = [0.0] * len(pre)          # accumulated normal force per contact
-    for _ in range(N_GS_PASSES):
+    # the sweeps are homogeneous — run them under fori_loop so the
+    # (sizeable) one-sweep body is traced/compiled ONCE, not N_GS_PASSES
+    # times (the unrolled version quadrupled the program and stalled the
+    # XLA compile on multi-contact scenes)
+    def sweep(_, carry):
+        rhs, fns = carry
+        rhs, fns = list(rhs), list(fns)
         for c, (dofs, MinvJ, m_eff, vn, v_bias, fn_max, rows) in \
                 enumerate(pre):
             jacc = None
@@ -737,7 +742,12 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
             fns[c] = fn_new
             for i in dofs:
                 rhs[i] = rhs[i] + rows[i] * dfn
-    return rhs
+        return tuple(rhs), tuple(fns)
+
+    fns0 = tuple(jnp.zeros_like(e[5]) for e in pre)   # e[5] = fn_max [B]
+    rhs, _ = jax.lax.fori_loop(0, N_GS_PASSES, sweep,
+                               (tuple(rhs), fns0))
+    return list(rhs)
 
 
 # ---------------------------------------------------------------------------

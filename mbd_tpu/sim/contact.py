@@ -109,7 +109,6 @@ def contact_force(sys: System, kin: Kin, v_b: jnp.ndarray, con: Contacts,
         d = n - mu[:, None] * t_dir                         # (ncon, 3)
         d_sp = jnp.concatenate([jnp.cross(p, d), d], axis=-1)
         Jd = jnp.einsum("ix,cx->ci", kin.S, d_sp) * mask    # (ncon, nv)
-        fn = jnp.zeros(ncon, kin.S.dtype)
 
     if nlim:
         l_dadr, l_sign, l_vio = limits
@@ -117,7 +116,6 @@ def contact_force(sys: System, kin: Kin, v_b: jnp.ndarray, con: Contacts,
         vn_l = jnp.asarray(l_sign, kin.S.dtype) * qd[l_dadr]
         vb_l = jnp.minimum(BAUMGARTE_BETA * l_vio / h, V_PUSH_MAX)
         fmax_l = m_eff_l * sys.limit_stiffness * l_vio * (l_vio > 0.0)
-        fl = jnp.zeros(nlim, kin.S.dtype)
 
     # Projected Gauss–Seidel (see constants note above; sim/batched.py
     # runs the same sweeps in the same constraint order — engine parity).
@@ -129,7 +127,10 @@ def contact_force(sys: System, kin: Kin, v_b: jnp.ndarray, con: Contacts,
     # [0, m_eff·a_ref] (non-adhesive; the spring reference still sets
     # the resting penetration / limit-violation depth). Stance support
     # passes through, bounce energy is clipped.
-    for _ in range(N_GS_PASSES):
+    # homogeneous sweeps under fori_loop: the one-sweep body compiles
+    # once, not N_GS_PASSES times (matches sim/batched.py)
+    def sweep(_, carry):
+        qacc, qfrc, fn, fl = carry
         for c in range(ncon):
             vn_pred = vn[c] + h * (Jn[c] @ qacc)
             fn_new = jnp.clip(fn[c] + m_eff[c] * (v_bias[c] - vn_pred) / h,
@@ -150,4 +151,11 @@ def contact_force(sys: System, kin: Kin, v_b: jnp.ndarray, con: Contacts,
             fl = fl.at[c].set(fn_new)
             qfrc = qfrc.at[dof].add(s * dfn)
             qacc = qacc + Minv[:, dof] * (s * dfn)
+        return qacc, qfrc, fn, fl
+
+    import jax
+    fn = jnp.zeros(ncon, kin.S.dtype)
+    fl = jnp.zeros(nlim, kin.S.dtype)
+    _, qfrc, _, _ = jax.lax.fori_loop(0, N_GS_PASSES, sweep,
+                                      (qacc, qfrc, fn, fl))
     return qfrc
