@@ -88,6 +88,23 @@ def test_bangbang_ctrl_is_dissipative():
 
 
 @pytest.mark.slow
+def test_multi_contact_drop_is_dissipative():
+    """Ant free-fall onto four feet — the round-3 regression case.
+
+    Pre-PGS, each of the simultaneous contacts (and limit springs)
+    cancelled the full approach velocity it predicted from the same
+    pre-constraint snapshot (Jacobi), so the summed impulse catapulted the
+    root ballistic to 18–32 m (docs/ENERGY_AUDIT.md round-3 section). The
+    Gauss–Seidel sweep must keep the coupled landing dissipative."""
+    env = envs.get_env("ant")
+    us = np.zeros((25, env.action_size))
+    defects, _, (q, _) = _audit(env, us)
+    assert defects.max() < 1.0, f"energy injected: defect {defects.max():.2f}"
+    # and the root must end near the floor, not on a ballistic arc
+    assert float(q[2]) < 1.0, f"root at z={float(q[2]):.2f} m after drop"
+
+
+@pytest.mark.slow
 def test_contact_bounce_bounded():
     """A body slammed into the plane may leave the impact with at most the
     bounded Baumgarte pushout velocity (V_PUSH_MAX), never a trampoline kick."""
