@@ -16,8 +16,10 @@ The single JSON line also carries:
     statically-known substep count, as algorithmic TFLOP/s against both
     the VPU f32 peak (this workload is elementwise/VPU-bound — no matmuls)
     and the chip's bf16 MXU peak (the conventional MFU denominator). The
-    dense masked-einsum count is an upper bound on executed flops, so a
-    ratio near/above 1.0 reads "at the compute roofline".
+    count is the sparsity-unrolled HLO of the XLA engine substep — close
+    to executed flops there, an upper bound for the leaner Pallas kernel —
+    so a ratio near 1.0 reads "at the compute roofline" and above 1.0
+    reads "the model overcounts" (see flop_model.note).
 
 Failures are LOUD: an error JSON line + exit 1, never a silent fallback.
 """
@@ -31,10 +33,12 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# Peak FLOP/s per chip for utilization accounting. VPU: 8 sublanes × 128
-# lanes × 4 ALU sub-units × 2 (FMA) × ~0.94 GHz clock ≈ 7.7 Tf32/s; MXU
-# bf16: the published 197 Tbf16/s (TPU v5e / "v5 lite").
-_PEAKS = {"TPU v5 lite": {"vpu_f32": 7.7e12, "mxu_bf16": 197e12}}
+# Peak FLOP/s per chip for utilization accounting. MXU bf16: the published
+# 197 Tbf16/s (TPU v5e / "v5 lite"). VPU f32 peak derived consistently from
+# that same published number: 197e12 = 4 MXUs × 128×128 MACs × 2 flops ×
+# clock → clock ≈ 1.50 GHz; VPU = 8 sublanes × 128 lanes × 4 ALU sub-units
+# × 2 (FMA) × 1.50 GHz ≈ 12.3 Tf32/s.
+_PEAKS = {"TPU v5 lite": {"vpu_f32": 12.3e12, "mxu_bf16": 197e12}}
 
 
 def _make_chunk_fn(env, cfg, engine):
@@ -124,11 +128,15 @@ def _flop_model(env_name: str, cfg_kwargs: dict, chunk: int, wall_s: float,
         "source": "XLA cost_analysis of one batched physics substep × "
                   "(Ndiffuse-1)·H·n_frames (same math the Pallas kernel "
                   "executes; loop bodies counted explicitly)",
-        "note": "algorithmic (dense masked-einsum) flop count — an UPPER "
-                "bound on executed flops: the compilers eliminate "
-                "structurally-zero mask terms, so a ratio near/above 1.0 "
-                "means the kernel runs at the compute roofline for this "
-                "workload, not that it beats the silicon",
+        "note": "sparsity-unrolled HLO flop count of the XLA engine "
+                "substep (TopoCache already prunes structurally-zero "
+                "topology terms, so this is close to executed flops for "
+                "the XLA path) — still an UPPER bound for the leaner "
+                "Pallas kernel, and cost_analysis weights transcendentals "
+                "(rsqrt/quaternion math) as multi-flop, so a ratio above "
+                "1.0 means the flop model overcounts, not that the kernel "
+                "beats the silicon; near 1.0 reads 'at the compute "
+                "roofline'",
         "device_kind": kind,
         "flops_per_substep_batch": round(flops_per_substep),
         "substeps": n_steps * H * env.n_frames,

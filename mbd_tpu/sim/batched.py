@@ -720,34 +720,57 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
         fn_max = m_eff * k_lim * vio * active
         pre.append(([dadr], MinvJ, m_eff, vn, v_bias, fn_max, {dadr: s}))
 
-    # the sweeps are homogeneous — run them under fori_loop so the
-    # (sizeable) one-sweep body is traced/compiled ONCE, not N_GS_PASSES
-    # times (the unrolled version quadrupled the program and stalled the
-    # XLA compile on multi-contact scenes)
-    def sweep(_, carry):
-        rhs, fns = carry
-        rhs, fns = list(rhs), list(fns)
-        for c, (dofs, MinvJ, m_eff, vn, v_bias, fn_max, rows) in \
-                enumerate(pre):
-            jacc = None
-            for i in range(sys.nv):
-                if MinvJ[i] is None:  # sparse solve: untouched dofs None
-                    continue
-                t = MinvJ[i] * rhs[i]
-                jacc = t if jacc is None else jacc + t
-            vn_pred = vn + h * jacc
-            fn_new = jnp.clip(fns[c] + m_eff * (v_bias - vn_pred) / h,
-                              0.0, fn_max)
-            dfn = fn_new - fns[c]
-            fns[c] = fn_new
-            for i in dofs:
-                rhs[i] = rhs[i] + rows[i] * dfn
-        return tuple(rhs), tuple(fns)
+    if not pre:
+        return list(rhs)
 
-    fns0 = tuple(jnp.zeros_like(e[5]) for e in pre)   # e[5] = fn_max [B]
-    rhs, _ = jax.lax.fori_loop(0, N_GS_PASSES, sweep,
-                               (tuple(rhs), fns0))
-    return list(rhs)
+    # The sweeps are homogeneous in TWO dimensions: across passes AND
+    # across constraint rows. Stack every row's static data into [C, ...]
+    # arrays and run fori_loop(passes) · fori_loop(rows), so the compiled
+    # body is ONE row update regardless of how many constraints the scene
+    # has. (The per-row-unrolled sweep body grew superlinearly in XLA's
+    # passes: humanoidstandup — ~40 contact points + 17 limit rows —
+    # stalled server-side compiles past a 1 h timeout; walker2d ~10 rows
+    # compiled in minutes. Row order, math, and projection are unchanged —
+    # same Gauss–Seidel iteration, now data- instead of code-unrolled.)
+    B = rhs[0].shape
+    dtype = rhs[0].dtype
+    zero = jnp.zeros(B, dtype)
+
+    def stack_rows(getter):
+        return jnp.stack([jnp.stack([getter(e, i) for i in range(sys.nv)])
+                          for e in pre])                    # [C, nv, *B]
+
+    MinvJ_st = stack_rows(
+        lambda e, i: zero if e[1][i] is None else e[1][i] + zero)
+    rows_st = stack_rows(lambda e, i: e[6].get(i, zero) + zero)
+    m_eff_st = jnp.stack([e[2] + zero for e in pre])        # [C, *B]
+    vn_st = jnp.stack([e[3] + zero for e in pre])
+    vbias_st = jnp.stack([e[4] + zero for e in pre])
+    fnmax_st = jnp.stack([e[5] + zero for e in pre])
+
+    def row_update(c, carry):
+        rhs_a, fns = carry          # rhs_a [nv, *B], fns [C, *B]
+        take = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            a, c, 0, keepdims=False)
+        jacc = (take(MinvJ_st) * rhs_a).sum(axis=0)
+        vn_pred = take(vn_st) + h * jacc
+        fn_c = take(fns)
+        fn_new = jnp.clip(
+            fn_c + take(m_eff_st) * (take(vbias_st) - vn_pred) / h,
+            0.0, take(fnmax_st))
+        dfn = fn_new - fn_c
+        rhs_a = rhs_a + take(rows_st) * dfn
+        fns = jax.lax.dynamic_update_index_in_dim(fns, fn_new, c, 0)
+        return rhs_a, fns
+
+    def sweep(_, carry):
+        return jax.lax.fori_loop(0, len(pre), row_update, carry)
+
+    rhs_a, _ = jax.lax.fori_loop(
+        0, N_GS_PASSES, sweep,
+        (jnp.stack([r + zero for r in rhs]), jnp.zeros((len(pre),) + B,
+                                                       dtype)))
+    return [rhs_a[i] for i in range(sys.nv)]
 
 
 # ---------------------------------------------------------------------------

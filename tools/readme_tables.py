@@ -43,14 +43,17 @@ def _pm(mean, std):
 
 def _row_reward(row):
     """Honest reward cell: clean aggregate + flag note when seeds diverged."""
+    stale = ("measured pre contact-solver fix; re-measure pending"
+             if row.get("stale_pre_pgs_fix") else "")
     nd = row.get("n_diverged", 0)
     n = row.get("n_seeds", 0)
     if not nd:
-        return _pm(row["rew_mean"], row["rew_std"]), ""
+        return _pm(row["rew_mean"], row["rew_std"]), stale
     if row.get("rew_mean_clean") is None:
         return "— (all seeds diverged)", f"{nd}/{n} seeds diverged"
+    note = f"{nd}/{n} diverged seed{'s' if nd > 1 else ''} excluded"
     return (_pm(row["rew_mean_clean"], row["rew_std_clean"]),
-            f"{nd}/{n} diverged seed{'s' if nd > 1 else ''} excluded")
+            f"{note}; {stale}" if stale else note)
 
 
 def main_table(results):

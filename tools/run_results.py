@@ -135,7 +135,7 @@ def _aggregate(rec):
             "rewards": [round(float(r), 4) for r in rews],
             "diverged": [bool(d) for d in div],
         },
-        "wall_s_total": rec["wall_s"],
+        "wall_s_total": rec.get("wall_s"),
         "config": rec["config"],
     }
     if div.any():
@@ -164,11 +164,44 @@ def main():
     p.add_argument("--out", default="docs/RESULTS.json")
     p.add_argument("--results_dir", default="results")
     p.add_argument("--worker", default=None, help="internal: run one task")
+    p.add_argument("--from_npz", nargs="+", default=None,
+                   help="rebuild rows from results/<env>/seed_harness.npz "
+                        "(recovers a killed sweep's completed tasks — each "
+                        "worker persists its npz before the parent writes "
+                        "the merged JSON)")
     args = p.parse_args()
 
     if args.worker:
         worker(args.worker, args.engine, args.n_seeds, args.chunk_size,
                args.results_dir)
+        return
+
+    if args.from_npz:
+        import numpy as np
+
+        results = {}
+        for env_name in args.from_npz:
+            path = os.path.join(args.results_dir,
+                                env_name.replace("+", "_"),
+                                "seed_harness.npz")
+            d = np.load(path)
+            rec = {
+                "env": env_name,
+                "rewards": [float(r) for r in d["rewards"]],
+                "diverged": [bool(b) for b in d["diverged"]],
+                "config": json.loads(str(d["config"])),
+            }
+            results[env_name] = _aggregate(rec)
+            print(f"{env_name}: {results[env_name]['rew_mean']:.3f} "
+                  f"± {results[env_name]['rew_std']:.3f} (from npz)")
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+            merged.update(results)
+            results = merged
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.out}")
         return
 
     from mbd_tpu.utils import launcher
