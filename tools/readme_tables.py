@@ -96,6 +96,11 @@ def demo_table(results):
     return "\n".join(lines)
 
 
+def _stale_tag(rec):
+    return (" _(pre contact-solver-fix measurement; re-measure pending)_"
+            if rec.get("stale_pre_pgs_fix") else "")
+
+
 def baselines_table(bl, results):
     if not bl:
         return "_baselines not measured_"
@@ -112,7 +117,7 @@ def baselines_table(bl, results):
         lines.append(f"| {name.upper()} |"
                      f" {_pm(row['rew_mean'], row['rew_std'])}"
                      f" ({row['n_seeds']} seeds) |")
-    return "\n".join(lines)
+    return "\n".join(lines) + _stale_tag(bl)
 
 
 def temp_line(temp):
@@ -124,7 +129,7 @@ def temp_line(temp):
         best = rec["best_temp"]
         outs.append(f"{env}: best temp_sample **{best}** "
                     f"(reward {rec['best_reward']:.2f}, {n} seeds/temp, "
-                    f"{len(rec['sweep'])} temps)")
+                    f"{len(rec['sweep'])} temps){_stale_tag(rec)}")
     return "; ".join(outs)
 
 
@@ -149,8 +154,8 @@ def rl_table(rl, results):
         budget = f"{rec['algo'].upper()}, {steps:.1f}M steps"
         if scale != 1.0:
             budget += f" ({scale:g}× ref budget)"
-        lines.append(f"| {env} | {budget} | {span} | {evcell} |"
-                     f" **{mcell}** |")
+        lines.append(f"| {env} | {budget}{_stale_tag(rec)} | {span} |"
+                     f" {evcell} | **{mcell}** |")
     return "\n".join(lines)
 
 
