@@ -147,9 +147,35 @@ def _flop_model(env_name: str, cfg_kwargs: dict, chunk: int, wall_s: float,
     return out
 
 
+def _watchdog(seconds: float):
+    """LOUD-failure guard: a hung backend (e.g. the TPU tunnel dying
+    mid-session leaves the axon plugin retrying its connect forever) must
+    still produce the error JSON line + exit 1, never an eternal hang.
+    Returns an Event to set on success."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def _fire():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "ERROR: bench watchdog expired",
+                "value": 0, "unit": "env-steps/sec", "vs_baseline": 0.0,
+                "error": f"no result within {seconds:.0f}s "
+                         "(backend unreachable or compile stall)",
+            }), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=_fire, daemon=True).start()
+    return done
+
+
 def main():
+    import os
     import traceback
 
+    done = _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "2700")))
     north_cfg = dict(Nsample=1024, Hsample=50, Ndiffuse=300, temp_sample=0.1)
     flag_cfg = dict(Nsample=8192, Hsample=50, Ndiffuse=300, temp_sample=0.1)
     try:
@@ -168,6 +194,7 @@ def main():
             "traceback": traceback.format_exc()[-2000:],
         }))
         raise SystemExit(1)
+    done.set()
     print(json.dumps(result))
 
 
