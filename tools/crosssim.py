@@ -149,6 +149,52 @@ def worker(task: str):
     }), flush=True)
 
 
+def npz_crosssim(env_name: str):
+    """Cross-validate the SAVED 8-seed harness plans (the exact plans whose
+    rewards docs/RESULTS.json publishes, results/<env>/seed_harness.npz)
+    through MuJoCo C — no re-planning, so this runs anywhere MuJoCo does.
+    Returns per-seed MuJoCo rewards + zero-control floors."""
+    import jax
+    import numpy as np
+
+    from mbd_tpu import envs as envs_mod
+    from mbd_tpu.envs.physics import asset_path
+
+    env = envs_mod.get_env(env_name)
+    xml = asset_path(XMLS[env_name])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = np.load(os.path.join(root, "results", env_name, "seed_harness.npz"))
+    plans, rewards = d["plans"], d["rewards"]
+
+    rows = []
+    for s in range(plans.shape[0]):
+        # the harness's reset-split chain (plan_batch == plan serial)
+        _, rng_reset = jax.random.split(jax.random.PRNGKey(s))
+        st = env.reset(rng_reset)
+        q0 = np.asarray(st.pipeline_state.q)
+        qd0 = np.asarray(st.pipeline_state.qd)
+        us = np.asarray(plans[s])
+        mj = reward_from_qs(env, *mujoco_rollout(env, xml, q0, qd0, us),
+                            us, q0, qd0)
+        mj_zero = reward_from_qs(env, *mujoco_rollout(
+            env, xml, q0, qd0, np.zeros_like(us)), np.zeros_like(us),
+            q0, qd0)
+        rows.append({"seed": s, "reward_ours": round(float(rewards[s]), 4),
+                     "reward_mujoco": round(float(mj), 4),
+                     "reward_mujoco_zero_ctrl": round(float(mj_zero), 4)})
+    ours = np.array([r["reward_ours"] for r in rows])
+    mjs = np.array([r["reward_mujoco"] for r in rows])
+    return {
+        "protocol": "saved 8-seed harness plans replayed open-loop through "
+                    "MuJoCo C from the identical initial states, scored "
+                    "with the env's own reward formula",
+        "reward_ours_mean": round(float(ours.mean()), 4),
+        "reward_mujoco_mean": round(float(mjs.mean()), 4),
+        "reward_mujoco_std": round(float(mjs.std()), 4),
+        "per_seed": rows,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--envs", nargs="+", default=list(XMLS))
@@ -156,10 +202,34 @@ def main():
     p.add_argument("--timeout", type=int, default=2400)
     p.add_argument("--out", default="docs/RESULTS_CROSSSIM.json")
     p.add_argument("--worker", default=None)
+    p.add_argument("--from_npz", nargs="+", default=None,
+                   help="cross-validate the saved seed-harness plans for "
+                        "these envs (all 8 seeds, MuJoCo only, no "
+                        "re-planning) into docs/RESULTS_CROSSSIM_8SEED.json")
     args = p.parse_args()
 
     if args.worker:
         worker(args.worker)
+        return
+
+    if args.from_npz:
+        # MuJoCo C + a per-seed env.reset — no device compute worth a TPU;
+        # pin CPU so a dead tunnel can't hang the replay
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        out_path = "docs/RESULTS_CROSSSIM_8SEED.json"
+        results = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                results = json.load(f)
+        for e in args.from_npz:
+            results[e] = npz_crosssim(e)
+            print(f"{e}: ours={results[e]['reward_ours_mean']:.3f} "
+                  f"mujoco={results[e]['reward_mujoco_mean']:.3f} "
+                  f"± {results[e]['reward_mujoco_std']:.3f}", flush=True)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out_path}")
         return
 
     from mbd_tpu.utils import launcher
