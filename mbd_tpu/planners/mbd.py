@@ -375,10 +375,13 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
     if engine is None:
         engine = default_engine(env)
     sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
-    reverse_once = make_reverse_once_batch(env, cfg, states_init, sched, S,
-                                           engine=engine)
 
-    def reverse_chunk(carry, steps):
+    # states_init as a jit operand (see plan()): one compiled denoise per
+    # (env, cfg, S, engine) shape, shared by every seed set through the
+    # in-process and persistent compile caches
+    def reverse_chunk(carry, steps, states_init_op):
+        reverse_once = make_reverse_once_batch(env, cfg, states_init_op,
+                                               sched, S, engine=engine)
         return jax.lax.scan(reverse_once, carry, steps)
 
     if jit:
@@ -388,14 +391,16 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
     steps = jnp.arange(cfg.Ndiffuse - 1, 0, -1)
     n = steps.shape[0]
     if chunk_size <= 0:
-        (_, _), (Ybars, rews_trace) = reverse_chunk((rng_exp, YN), steps)
+        (_, _), (Ybars, rews_trace) = reverse_chunk((rng_exp, YN), steps,
+                                                    states_init)
     else:
         carry = (rng_exp, YN)
         Ybars_l, rews_l = [], []
         pad = (-n) % chunk_size
         steps_p = jnp.concatenate([steps, jnp.ones(pad, steps.dtype)])
         for c in range(0, n + pad, chunk_size):
-            carry, (Yb, rw) = reverse_chunk(carry, steps_p[c:c + chunk_size])
+            carry, (Yb, rw) = reverse_chunk(carry, steps_p[c:c + chunk_size],
+                                            states_init)
             Ybars_l.append(Yb)
             rews_l.append(rw)
             if progress_fn is not None:
@@ -415,13 +420,15 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
 
     T = n
     if engine in ("fused", "pallas"):
-        q0 = jnp.repeat(states_init.pipeline_state.q.T, T, axis=1)
-        qd0 = jnp.repeat(states_init.pipeline_state.qd.T, T, axis=1)
-        shim = SimpleNamespace(
-            pipeline_state=SimpleNamespace(q=q0, qd=qd0))
-        cand_rews, _, cand_bad = jax.jit(
-            lambda y: rollout_rewards(env, shim, y, need_states=False))(
-                Ybars.reshape(S * T, cfg.Hsample, env.action_size))
+        def _cand_eval(q, qd, y):
+            shim = SimpleNamespace(pipeline_state=SimpleNamespace(
+                q=jnp.repeat(q.T, T, axis=1),
+                qd=jnp.repeat(qd.T, T, axis=1)))
+            return rollout_rewards(env, shim, y, need_states=False)
+
+        cand_rews, _, cand_bad = jax.jit(_cand_eval)(
+            states_init.pipeline_state.q, states_init.pipeline_state.qd,
+            Ybars.reshape(S * T, cfg.Hsample, env.action_size))
         cand = cand_rews.mean(axis=-1).reshape(S, T)
         cand_bad = cand_bad.reshape(S, T)
         feasible = (cand_bad == 0) & jnp.isfinite(cand)
@@ -482,10 +489,15 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
     if engine is None:
         engine = default_engine(env, mesh)
     sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
-    reverse_once = make_reverse_once(env, cfg, state_init, sched, mesh,
-                                     engine=engine)
 
-    def reverse_chunk(carry, steps):
+    # state_init rides in as a jit OPERAND (the closure is built inside the
+    # traced function), not a closure constant: baked-in reset states made
+    # every seed a distinct HLO, so an 8-seed serial harness paid 8 full XLA
+    # compiles where one suffices — as operands, every same-shape seed hits
+    # the in-process and persistent compile caches
+    def reverse_chunk(carry, steps, state_init_op):
+        reverse_once = make_reverse_once(env, cfg, state_init_op, sched,
+                                         mesh, engine=engine)
         return jax.lax.scan(reverse_once, carry, steps)
 
     if jit:
@@ -494,7 +506,8 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
     YN = jnp.zeros((cfg.Hsample, env.action_size))
     steps = jnp.arange(cfg.Ndiffuse - 1, 0, -1)
     if chunk_size <= 0:
-        (_, _), (Ybars, rews_trace) = reverse_chunk((rng_exp, YN), steps)
+        (_, _), (Ybars, rews_trace) = reverse_chunk((rng_exp, YN), steps,
+                                                    state_init)
     else:
         carry = (rng_exp, YN)
         Ybars_l, rews_l = [], []
@@ -532,7 +545,8 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
                 r_mm = _np.lib.format.open_memmap(
                     r_path, mode="w+", dtype=_np.float32, shape=(n + pad,))
         for c in range(start, n + pad, chunk_size):
-            carry, (Yb, rw) = reverse_chunk(carry, steps_p[c:c + chunk_size])
+            carry, (Yb, rw) = reverse_chunk(carry, steps_p[c:c + chunk_size],
+                                            state_init)
             Ybars_l.append(Yb)
             rews_l.append(rw)
             if checkpoint_path is not None:
