@@ -129,67 +129,78 @@ def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
     split2 = jax.vmap(jax.random.split)(rng_after)
     rng_exp = split2[:, 0]
 
-    if engine in ("fused", "pallas"):
-        b_tile = min(1024, ((S * N + 7) // 8) * 8)
-        q0 = jnp.repeat(states_init.pipeline_state.q.T, N, axis=1)
-        qd0 = jnp.repeat(states_init.pipeline_state.qd.T, N, axis=1)
-        shim = SimpleNamespace(
-            pipeline_state=SimpleNamespace(q=q0, qd=qd0))
-        if engine == "pallas":
-            from ..ops.rollout_pallas import rollout_rewards_pallas
+    def make_batch_eval(states_init_op):
+        # built from operand states inside the traced refine (see
+        # planners/mbd.py — operand reset states mean one compiled program
+        # per (env, cfg, S, engine), shared across seed sets)
+        if engine in ("fused", "pallas"):
+            b_tile = min(1024, ((S * N + 7) // 8) * 8)
+            shim = SimpleNamespace(pipeline_state=SimpleNamespace(
+                q=jnp.repeat(states_init_op.pipeline_state.q.T, N, axis=1),
+                qd=jnp.repeat(states_init_op.pipeline_state.qd.T, N,
+                              axis=1)))
+            if engine == "pallas":
+                from ..ops.rollout_pallas import rollout_rewards_pallas
 
-            def batch_eval(Y0s):
-                rews, bad = rollout_rewards_pallas(
-                    env, shim, Y0s.reshape(S * N, cfg.Hsample, nu),
-                    b_tile=b_tile)
-                return rews.mean(axis=-1).reshape(S, N), bad.reshape(S, N)
+                def batch_eval(Y0s):
+                    rews, bad = rollout_rewards_pallas(
+                        env, shim, Y0s.reshape(S * N, cfg.Hsample, nu),
+                        b_tile=b_tile)
+                    return (rews.mean(axis=-1).reshape(S, N),
+                            bad.reshape(S, N))
+            else:
+                from ..rollout.fused import rollout_rewards
+
+                def batch_eval(Y0s):
+                    rews, _, bad = rollout_rewards(
+                        env, shim, Y0s.reshape(S * N, cfg.Hsample, nu))
+                    return (rews.mean(axis=-1).reshape(S, N),
+                            bad.reshape(S, N))
         else:
-            from ..rollout.fused import rollout_rewards
+            _ev = jax.vmap(jax.vmap(functools.partial(eval_us, env.step),
+                                    in_axes=(None, 0)), in_axes=(0, 0))
 
             def batch_eval(Y0s):
-                rews, _, bad = rollout_rewards(
-                    env, shim, Y0s.reshape(S * N, cfg.Hsample, nu))
-                return rews.mean(axis=-1).reshape(S, N), bad.reshape(S, N)
-    else:
-        _ev = jax.vmap(jax.vmap(functools.partial(eval_us, env.step),
-                                in_axes=(None, 0)), in_axes=(0, 0))
-
-        def batch_eval(Y0s):
-            return _ev(states_init, Y0s).mean(axis=-1), None
+                return _ev(states_init_op, Y0s).mean(axis=-1), None
+        return batch_eval
 
     batched_update = jax.vmap(
         lambda w, y, s, m, v: update_fn(w, y, s, m, cfg, valid=v))
 
-    def update_once(carry, _):
-        rngs_c, mu_0t, sigma = carry                # [S,2], [S,H,nu], [S]
-        split = jax.vmap(jax.random.split)(rngs_c)
-        rngs_next, keys = split[:, 0], split[:, 1]
-        eps = jax.vmap(lambda k: jax.random.normal(
-            k, (N, cfg.Hsample, nu)))(keys) * sigma[:, None, None, None]
-        Y0s = jnp.clip(eps + mu_0t[:, None], -1.0, 1.0)
+    def refine(rng_batch, states_init_op):
+        batch_eval = make_batch_eval(states_init_op)
 
-        rews, diverged = batch_eval(Y0s)
-        valid = jnp.isfinite(rews)
-        if diverged is not None:
-            valid = valid & (diverged == 0)
-        worst = jnp.min(jnp.where(valid, rews, jnp.inf), axis=1,
-                        keepdims=True)
-        worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
-        rews = jnp.where(valid, rews, worst)
-        rew_std = rews.std(axis=1, keepdims=True)
-        rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)
-        logp0 = (rews - rews.mean(axis=1, keepdims=True)) / rew_std \
-            / cfg.temp_sample
-        # zero weight for flagged samples (cf. planners/mbd.py)
-        n_valid = valid.sum(axis=1, keepdims=True)
-        logp0 = jnp.where(valid, logp0, -jnp.inf)
-        weights = jax.nn.softmax(logp0, axis=1)
-        weights = jnp.where(n_valid > 0, weights,
-                            jnp.full_like(weights, 1.0 / weights.shape[1]))
-        mu_0tm1, sigma = batched_update(weights, Y0s, sigma, mu_0t, valid)
-        return (rngs_next, mu_0tm1, sigma), (mu_0tm1, rews.mean(axis=1))
+        def update_once(carry, _):
+            rngs_c, mu_0t, sigma = carry            # [S,2], [S,H,nu], [S]
+            split = jax.vmap(jax.random.split)(rngs_c)
+            rngs_next, keys = split[:, 0], split[:, 1]
+            eps = jax.vmap(lambda k: jax.random.normal(
+                k, (N, cfg.Hsample, nu)))(keys) * sigma[:, None, None, None]
+            Y0s = jnp.clip(eps + mu_0t[:, None], -1.0, 1.0)
 
-    def refine(rng_batch):
+            rews, diverged = batch_eval(Y0s)
+            valid = jnp.isfinite(rews)
+            if diverged is not None:
+                valid = valid & (diverged == 0)
+            worst = jnp.min(jnp.where(valid, rews, jnp.inf), axis=1,
+                            keepdims=True)
+            worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
+            rews = jnp.where(valid, rews, worst)
+            rew_std = rews.std(axis=1, keepdims=True)
+            rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)
+            logp0 = (rews - rews.mean(axis=1, keepdims=True)) / rew_std \
+                / cfg.temp_sample
+            # zero weight for flagged samples (cf. planners/mbd.py)
+            n_valid = valid.sum(axis=1, keepdims=True)
+            logp0 = jnp.where(valid, logp0, -jnp.inf)
+            weights = jax.nn.softmax(logp0, axis=1)
+            weights = jnp.where(n_valid > 0, weights,
+                                jnp.full_like(weights,
+                                              1.0 / weights.shape[1]))
+            mu_0tm1, sigma = batched_update(weights, Y0s, sigma, mu_0t,
+                                            valid)
+            return (rngs_next, mu_0tm1, sigma), (mu_0tm1, rews.mean(axis=1))
+
         mu_0T = jnp.zeros((S, cfg.Hsample, nu))
         carry = (rng_batch, mu_0T, jnp.ones(S))
         _, (mu_0ts, rews_trace) = jax.lax.scan(
@@ -198,7 +209,7 @@ def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
 
     if jit:
         refine = jax.jit(refine)
-    mu_0ts, rews_trace = refine(rng_exp)
+    mu_0ts, rews_trace = refine(rng_exp, states_init)
     mu_0ts = jnp.swapaxes(mu_0ts, 0, 1)             # [S, T, H, nu]
     rews_trace = jnp.swapaxes(rews_trace, 0, 1)
 
@@ -206,13 +217,15 @@ def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
     if engine in ("fused", "pallas"):
         from ..rollout.fused import rollout_rewards
 
-        q0 = jnp.repeat(states_init.pipeline_state.q.T, T, axis=1)
-        qd0 = jnp.repeat(states_init.pipeline_state.qd.T, T, axis=1)
-        shim_t = SimpleNamespace(
-            pipeline_state=SimpleNamespace(q=q0, qd=qd0))
-        cand_rews, _, cand_bad = jax.jit(
-            lambda y: rollout_rewards(env, shim_t, y, need_states=False))(
-                mu_0ts.reshape(S * T, cfg.Hsample, nu))
+        def _cand_eval(q, qd, y):
+            shim_t = SimpleNamespace(pipeline_state=SimpleNamespace(
+                q=jnp.repeat(q.T, T, axis=1),
+                qd=jnp.repeat(qd.T, T, axis=1)))
+            return rollout_rewards(env, shim_t, y, need_states=False)
+
+        cand_rews, _, cand_bad = jax.jit(_cand_eval)(
+            states_init.pipeline_state.q, states_init.pipeline_state.qd,
+            mu_0ts.reshape(S * T, cfg.Hsample, nu))
         cand = cand_rews.mean(axis=-1).reshape(S, T)
         cand_bad = cand_bad.reshape(S, T)
         feasible = (cand_bad == 0) & jnp.isfinite(cand)
@@ -274,14 +287,15 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
             # per-sample rollout stays device-local under shard_map (the
             # pallas_call cannot auto-partition, and the fused engine's lane
             # packing must not be "solved" by a GSPMD all-gather); only the
-            # [n] reward/diverged vectors leave the region — cf. planners/mbd.py
+            # [n] reward/diverged vectors leave the region — cf. planners/mbd.py.
+            # The state rides in replicated (P() prefix) so it can be a jit
+            # operand rather than a baked-in constant.
             from jax.sharding import PartitionSpec as P
             axis = mesh.axis_names[0]
-            _sharded = jax.shard_map(
-                lambda y: _eval_local(state_init, y), mesh=mesh,
-                in_specs=P(axis), out_specs=(P(axis), P(axis)),
+            batch_eval = jax.shard_map(
+                _eval_local, mesh=mesh, in_specs=(P(), P(axis)),
+                out_specs=(P(axis), P(axis)),
                 check_vma=False)  # pallas out_shapes carry no vma metadata
-            batch_eval = lambda s, y: _sharded(y)  # noqa: E731
         else:
             batch_eval = _eval_local
         eval_final = _eval_local   # final/candidate evals are tiny-N, unsharded
@@ -292,48 +306,53 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
         eval_final = batch_eval
     shard = sample_sharding(mesh) if mesh is not None else None
 
-    def update_once(carry, _):
-        rng, mu_0t, sigma = carry
-        rng, key = jax.random.split(rng)
-        eps = jax.random.normal(key, (cfg.Nsample, cfg.Hsample, nu)) * sigma
-        Y0s = jnp.clip(eps + mu_0t, -1.0, 1.0)
-        if shard is not None:
-            Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
+    def make_update_once(state_init_op):
+        def update_once(carry, _):
+            rng, mu_0t, sigma = carry
+            rng, key = jax.random.split(rng)
+            eps = jax.random.normal(key,
+                                    (cfg.Nsample, cfg.Hsample, nu)) * sigma
+            Y0s = jnp.clip(eps + mu_0t, -1.0, 1.0)
+            if shard is not None:
+                Y0s = jax.lax.with_sharding_constraint(Y0s, shard)
 
-        rews, diverged = batch_eval(state_init, Y0s)
-        # diverged-rollout guard (cf. planners/mbd.py)
-        valid = jnp.isfinite(rews)
-        if diverged is not None:
-            valid = valid & (diverged == 0)
-        worst = jnp.min(jnp.where(valid, rews, jnp.inf))
-        worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
-        rews = jnp.where(valid, rews, worst)
-        # std guard: the reference MBD planner guards this (mbd_planner.py:111)
-        # but its path_integral does not and NaNs on a flat reward landscape;
-        # we guard both.
-        rew_std = rews.std()
-        rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)
-        logp0 = (rews - rews.mean()) / rew_std / cfg.temp_sample
-        # zero weight for flagged samples (cf. planners/mbd.py)
-        n_valid = valid.sum()
-        logp0 = jnp.where(valid, logp0, -jnp.inf)
-        weights = jax.nn.softmax(logp0)
-        weights = jnp.where(n_valid > 0, weights,
-                            jnp.full_like(weights, 1.0 / weights.shape[0]))
-        mu_0tm1, sigma = update_fn(weights, Y0s, sigma, mu_0t, cfg,
-                                   valid=valid)
-        return (rng, mu_0tm1, sigma), (mu_0tm1, rews.mean())
+            rews, diverged = batch_eval(state_init_op, Y0s)
+            # diverged-rollout guard (cf. planners/mbd.py)
+            valid = jnp.isfinite(rews)
+            if diverged is not None:
+                valid = valid & (diverged == 0)
+            worst = jnp.min(jnp.where(valid, rews, jnp.inf))
+            worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
+            rews = jnp.where(valid, rews, worst)
+            # std guard: the reference MBD planner guards this
+            # (mbd_planner.py:111) but its path_integral does not and NaNs
+            # on a flat reward landscape; we guard both.
+            rew_std = rews.std()
+            rew_std = jnp.where(rew_std < 1e-4, 1.0, rew_std)
+            logp0 = (rews - rews.mean()) / rew_std / cfg.temp_sample
+            # zero weight for flagged samples (cf. planners/mbd.py)
+            n_valid = valid.sum()
+            logp0 = jnp.where(valid, logp0, -jnp.inf)
+            weights = jax.nn.softmax(logp0)
+            weights = jnp.where(n_valid > 0, weights,
+                                jnp.full_like(weights,
+                                              1.0 / weights.shape[0]))
+            mu_0tm1, sigma = update_fn(weights, Y0s, sigma, mu_0t, cfg,
+                                       valid=valid)
+            return (rng, mu_0tm1, sigma), (mu_0tm1, rews.mean())
+        return update_once
 
-    def refine(rng):
+    def refine(rng, state_init_op):
         mu_0T = jnp.zeros((cfg.Hsample, nu))
         carry = (rng, mu_0T, jnp.asarray(1.0))
         _, (mu_0ts, rews_trace) = jax.lax.scan(
-            update_once, carry, None, length=cfg.Nrefine - 1)
+            make_update_once(state_init_op), carry, None,
+            length=cfg.Nrefine - 1)
         return mu_0ts, rews_trace
 
     if jit:
         refine = jax.jit(refine)
-    mu_0ts, rews_trace = refine(rng_exp)
+    mu_0ts, rews_trace = refine(rng_exp, state_init)
 
     if engine in ("fused", "pallas"):
         final_rews, final_bad = jax.jit(eval_final)(state_init,
