@@ -27,7 +27,8 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+import weakref
+from dataclasses import astuple, dataclass
 from typing import Callable, Optional
 
 import jax
@@ -98,6 +99,20 @@ def default_engine(env, mesh: Optional[Mesh] = None) -> str:
     if jax.default_backend() == "tpu" and hasattr(env, "reward_qs_b"):
         return "pallas"
     return "fused"
+
+
+# Jitted reverse_chunk programs, keyed per env (weak) × (cfg, engine, mesh
+# [, n_seeds]). With reset states as operands (see plan()) the program is
+# seed-independent, so repeat same-config calls — MPC-style replanning, the
+# seed harness, tests — skip both the retrace AND the recompile.
+_REVERSE_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_reverse_chunk(env, key, build):
+    sub = _REVERSE_JIT_CACHE.setdefault(env, {})
+    if key not in sub:
+        sub[key] = jax.jit(build())
+    return sub[key]
 
 
 def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
@@ -379,13 +394,18 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
     # states_init as a jit operand (see plan()): one compiled denoise per
     # (env, cfg, S, engine) shape, shared by every seed set through the
     # in-process and persistent compile caches
-    def reverse_chunk(carry, steps, states_init_op):
-        reverse_once = make_reverse_once_batch(env, cfg, states_init_op,
-                                               sched, S, engine=engine)
-        return jax.lax.scan(reverse_once, carry, steps)
+    def _build():
+        def reverse_chunk(carry, steps, states_init_op):
+            reverse_once = make_reverse_once_batch(env, cfg, states_init_op,
+                                                   sched, S, engine=engine)
+            return jax.lax.scan(reverse_once, carry, steps)
+        return reverse_chunk
 
     if jit:
-        reverse_chunk = jax.jit(reverse_chunk)
+        reverse_chunk = _cached_reverse_chunk(
+            env, (astuple(cfg), engine, None, S), _build)
+    else:
+        reverse_chunk = _build()
 
     YN = jnp.zeros((S, cfg.Hsample, env.action_size))
     steps = jnp.arange(cfg.Ndiffuse - 1, 0, -1)
@@ -420,13 +440,16 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
 
     T = n
     if engine in ("fused", "pallas"):
-        def _cand_eval(q, qd, y):
-            shim = SimpleNamespace(pipeline_state=SimpleNamespace(
-                q=jnp.repeat(q.T, T, axis=1),
-                qd=jnp.repeat(qd.T, T, axis=1)))
-            return rollout_rewards(env, shim, y, need_states=False)
+        def _build_cand_eval():
+            def _cand_eval(q, qd, y):
+                shim = SimpleNamespace(pipeline_state=SimpleNamespace(
+                    q=jnp.repeat(q.T, T, axis=1),
+                    qd=jnp.repeat(qd.T, T, axis=1)))
+                return rollout_rewards(env, shim, y, need_states=False)
+            return _cand_eval
 
-        cand_rews, _, cand_bad = jax.jit(_cand_eval)(
+        cand_rews, _, cand_bad = _cached_reverse_chunk(
+            env, ("cand_eval", T, S), _build_cand_eval)(
             states_init.pipeline_state.q, states_init.pipeline_state.qd,
             Ybars.reshape(S * T, cfg.Hsample, env.action_size))
         cand = cand_rews.mean(axis=-1).reshape(S, T)
@@ -495,13 +518,18 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
     # every seed a distinct HLO, so an 8-seed serial harness paid 8 full XLA
     # compiles where one suffices — as operands, every same-shape seed hits
     # the in-process and persistent compile caches
-    def reverse_chunk(carry, steps, state_init_op):
-        reverse_once = make_reverse_once(env, cfg, state_init_op, sched,
-                                         mesh, engine=engine)
-        return jax.lax.scan(reverse_once, carry, steps)
+    def _build():
+        def reverse_chunk(carry, steps, state_init_op):
+            reverse_once = make_reverse_once(env, cfg, state_init_op, sched,
+                                             mesh, engine=engine)
+            return jax.lax.scan(reverse_once, carry, steps)
+        return reverse_chunk
 
     if jit:
-        reverse_chunk = jax.jit(reverse_chunk)
+        reverse_chunk = _cached_reverse_chunk(
+            env, (astuple(cfg), engine, mesh), _build)
+    else:
+        reverse_chunk = _build()
 
     YN = jnp.zeros((cfg.Hsample, env.action_size))
     steps = jnp.arange(cfg.Ndiffuse - 1, 0, -1)
@@ -570,9 +598,11 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
     if engine in ("fused", "pallas"):
         from ..rollout.fused import rollout_rewards
 
-        final_rews, _, final_bad = jax.jit(
-            lambda s, y: rollout_rewards(env, s, y, need_states=False))(
-                state_init, Ybars[-1][None])
+        final_eval = _cached_reverse_chunk(
+            env, ("final_eval",),
+            lambda: lambda s, y: rollout_rewards(env, s, y,
+                                                 need_states=False))
+        final_rews, _, final_bad = final_eval(state_init, Ybars[-1][None])
         final_reward = final_rews[0].mean()
         final_diverged = jnp.asarray(False)
         # Best-feasible-iterate fallback: the softmax barycenter of clean
@@ -584,9 +614,7 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
         # flagged reward is still returned, but final_diverged=True marks it
         # tainted — callers must surface that, never publish it as clean.
         if bool(final_bad[0]):
-            cand_rews, _, cand_bad = jax.jit(
-                lambda s, y: rollout_rewards(env, s, y, need_states=False))(
-                    state_init, Ybars)
+            cand_rews, _, cand_bad = final_eval(state_init, Ybars)
             cand = cand_rews.mean(axis=-1)
             cand = jnp.where((cand_bad == 0) & jnp.isfinite(cand), cand,
                              -jnp.inf)
