@@ -355,8 +355,11 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
     mu_0ts, rews_trace = refine(rng_exp, state_init)
 
     if engine in ("fused", "pallas"):
-        final_rews, final_bad = jax.jit(eval_final)(state_init,
-                                                    mu_0ts[-1][None])
+        from .mbd import _cached_reverse_chunk
+        eval_final_jit = _cached_reverse_chunk(
+            env, ("pi_final_eval", engine, b_tile), lambda: eval_final)
+        final_rews, final_bad = eval_final_jit(state_init,
+                                               mu_0ts[-1][None])
         final_reward = final_rews[0]
         final_diverged = jnp.asarray(False)
         # best-feasible-iterate fallback (cf. planners/mbd.py): if the final
@@ -364,7 +367,7 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
         # non-diverged iterate from the refine trace; with no clean iterate
         # the flagged reward is returned with final_diverged=True
         if final_bad is not None and bool(final_bad[0]):
-            cand, cand_bad = jax.jit(eval_final)(state_init, mu_0ts)
+            cand, cand_bad = eval_final_jit(state_init, mu_0ts)
             cand = jnp.where((cand_bad == 0) & jnp.isfinite(cand), cand,
                              -jnp.inf)
             best = jnp.argmax(cand)
