@@ -369,6 +369,30 @@ def make_reverse_once_batch(env, cfg: MBDConfig, states_init, sched,
 def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
                chunk_size: int = 0, progress_fn=None,
                engine: Optional[str] = None) -> MBDResult:
+    """Seed-batched planning with a LOUD pallas→fused safety net (see
+    ``_plan_batch_impl`` for the semantics). The Pallas kernel traces the
+    full physics substep through Mosaic; if a Mosaic lowering regression
+    ever rejects it, the harness must degrade to the XLA-fused engine —
+    same math, same engine family for the published numbers — rather than
+    die mid-sweep."""
+    if engine is None:
+        engine = default_engine(env)
+    try:
+        return _plan_batch_impl(env, cfg, rngs, jit, chunk_size,
+                                progress_fn, engine)
+    except Exception as e:
+        if engine != "pallas":
+            raise
+        import warnings
+        warnings.warn(
+            f"pallas engine failed ({type(e).__name__}: {e}); retrying "
+            "with the XLA-fused engine", RuntimeWarning, stacklevel=2)
+        return _plan_batch_impl(env, cfg, rngs, jit, chunk_size,
+                                progress_fn, "fused")
+
+
+def _plan_batch_impl(env, cfg: MBDConfig, rngs: jax.Array, jit: bool,
+                     chunk_size: int, progress_fn, engine: str) -> MBDResult:
     """Run S independent full denoises as one batched device program.
 
     ``rngs``: [S] stacked PRNG keys, one per seed. Each seed's RNG chain is
@@ -387,8 +411,6 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
     split2 = jax.vmap(jax.random.split)(rng_after)
     rng_exp = split2[:, 0]
 
-    if engine is None:
-        engine = default_engine(env)
     sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
 
     # states_init as a jit operand (see plan()): one compiled denoise per
@@ -488,6 +510,28 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
          chunk_size: int = 0, progress_fn=None,
          engine: Optional[str] = None,
          checkpoint_path: Optional[str] = None) -> MBDResult:
+    """Full reverse diffusion with a LOUD pallas→fused safety net (cf.
+    ``plan_batch``); semantics in ``_plan_impl``."""
+    if engine is None:
+        engine = default_engine(env, mesh)
+    try:
+        return _plan_impl(env, cfg, rng, state_init, mesh, jit, chunk_size,
+                          progress_fn, engine, checkpoint_path)
+    except Exception as e:
+        if engine != "pallas":
+            raise
+        import warnings
+        warnings.warn(
+            f"pallas engine failed ({type(e).__name__}: {e}); retrying "
+            "with the XLA-fused engine", RuntimeWarning, stacklevel=2)
+        return _plan_impl(env, cfg, rng, state_init, mesh, jit, chunk_size,
+                          progress_fn, "fused", checkpoint_path)
+
+
+def _plan_impl(env, cfg: MBDConfig, rng: jax.Array, state_init,
+               mesh: Optional[Mesh], jit: bool, chunk_size: int,
+               progress_fn, engine: str,
+               checkpoint_path: Optional[str]) -> MBDResult:
     """Run the full reverse diffusion.
 
     RNG layout mirrors the reference driver (mbd_planner.py:79,137-149):
@@ -509,8 +553,6 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
         state_init = env.reset(rng_reset)
     rng_exp, rng = jax.random.split(rng)
 
-    if engine is None:
-        engine = default_engine(env, mesh)
     sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
 
     # state_init rides in as a jit OPERAND (the closure is built inside the

@@ -36,6 +36,31 @@ def test_same_config_seeds_share_one_jitted_program():
     assert not np.allclose(np.asarray(r0.Ybars), np.asarray(r1.Ybars))
 
 
+def test_pallas_failure_falls_back_to_fused(monkeypatch):
+    """A Mosaic lowering failure must demote pallas→fused LOUDLY, not kill
+    the harness (the kernel traces the whole physics substep; Mosaic is
+    only exercised on real TPU, so a regression there first surfaces
+    mid-sweep)."""
+    import pytest
+
+    env = envs.get_env("hopper")
+    cfg = mbd.MBDConfig(Nsample=16, Hsample=8, Ndiffuse=6)
+    engines_tried = []
+    orig = mbd.make_reverse_once
+
+    def boom(env_, cfg_, st, sched, mesh=None, engine="vmap"):
+        engines_tried.append(engine)
+        if engine == "pallas":
+            raise RuntimeError("simulated Mosaic lowering failure")
+        return orig(env_, cfg_, st, sched, mesh, engine=engine)
+
+    monkeypatch.setattr(mbd, "make_reverse_once", boom)
+    with pytest.warns(RuntimeWarning, match="pallas engine failed"):
+        r = mbd.plan(env, cfg, jax.random.PRNGKey(0), engine="pallas")
+    assert engines_tried[0] == "pallas" and "fused" in engines_tried
+    assert np.isfinite(float(r.final_reward))
+
+
 def test_different_config_gets_its_own_program():
     env = envs.get_env("car2d")
     cfg_a = mbd.MBDConfig(Nsample=32, Hsample=10, Ndiffuse=8)
