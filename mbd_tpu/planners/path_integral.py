@@ -208,7 +208,10 @@ def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
         return mu_0ts, rews_trace
 
     if jit:
-        refine = jax.jit(refine)
+        from .mbd import _cached_reverse_chunk
+        from dataclasses import astuple
+        refine = _cached_reverse_chunk(
+            env, ("pi_batch", astuple(cfg), engine, S), lambda: refine)
     mu_0ts, rews_trace = refine(rng_exp, states_init)
     mu_0ts = jnp.swapaxes(mu_0ts, 0, 1)             # [S, T, H, nu]
     rews_trace = jnp.swapaxes(rews_trace, 0, 1)
@@ -351,7 +354,10 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
         return mu_0ts, rews_trace
 
     if jit:
-        refine = jax.jit(refine)
+        from .mbd import _cached_reverse_chunk
+        from dataclasses import astuple
+        refine = _cached_reverse_chunk(
+            env, ("pi_serial", astuple(cfg), engine, mesh), lambda: refine)
     mu_0ts, rews_trace = refine(rng_exp, state_init)
 
     if engine in ("fused", "pallas"):
