@@ -223,7 +223,12 @@ def run_multiple_temp(args) -> None:
     best = max(results, key=lambda t: results[t]["rew_mean"])
     print(f"best temp: {best} (rew={results[best]['rew_mean']:.3f})")
 
-    out = os.path.join("docs", "RESULTS_TEMP.json")
+    # the published evidence file only when writing to the default results
+    # tree; ad-hoc runs (--results_dir elsewhere) keep their sweep next to
+    # their other outputs instead of clobbering docs/
+    out = (os.path.join("docs", "RESULTS_TEMP.json")
+           if args.results_dir == "results"
+           else os.path.join(args.results_dir, "RESULTS_TEMP.json"))
     table = {}
     if os.path.exists(out):
         with open(out) as f:
@@ -236,7 +241,7 @@ def run_multiple_temp(args) -> None:
         "config": dict(Nsample=args.Nsample, Hsample=args.Hsample,
                        Ndiffuse=args.Ndiffuse),
     }
-    os.makedirs("docs", exist_ok=True)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(table, f, indent=2)
     print(f"wrote {out}")
