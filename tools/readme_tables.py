@@ -97,8 +97,11 @@ def demo_table(results):
 
 
 def _stale_tag(rec):
-    return (" _(pre contact-solver-fix measurement; re-measure pending)_"
-            if rec.get("stale_pre_pgs_fix") else "")
+    if not rec.get("stale_pre_pgs_fix"):
+        return ""
+    note = rec.get("stale_note",
+                   "pre contact-solver-fix measurement; re-measure pending")
+    return f" _({note})_"
 
 
 def baselines_table(bl, results):
