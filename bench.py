@@ -147,6 +147,27 @@ def _flop_model(env_name: str, cfg_kwargs: dict, chunk: int, wall_s: float,
     return out
 
 
+def _tunnel_reachable() -> bool:
+    """Fast pre-probe of the axon relay: the TPU plugin reaches the chip
+    through loopback TCP ports served by the host-spawned relay process.
+    If the relay died (2026-08-17 outage), every port refuses instantly —
+    probing them turns a 45-minute watchdog hang into an immediate loud
+    error. Only meaningful when the environment routes jax to axon."""
+    import os
+    import socket
+
+    if os.environ.get("JAX_PLATFORMS", "axon") != "axon" or \
+            not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True          # not tunnel-routed; nothing to probe
+    for port in (8082, 8083, 8087, 8092):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def _watchdog(seconds: float):
     """LOUD-failure guard: a hung backend (e.g. the TPU tunnel dying
     mid-session leaves the axon plugin retrying its connect forever) must
@@ -175,6 +196,15 @@ def main():
     import os
     import traceback
 
+    if not _tunnel_reachable():
+        print(json.dumps({
+            "metric": "ERROR: TPU tunnel unreachable",
+            "value": 0, "unit": "env-steps/sec", "vs_baseline": 0.0,
+            "error": "axon relay ports refuse connections (relay process "
+                     "down); no chip to bench. Last measured TPU result: "
+                     "BENCH_r02.json (34.4M env-steps/s/chip).",
+        }), flush=True)
+        raise SystemExit(1)
     done = _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "2700")))
     north_cfg = dict(Nsample=1024, Hsample=50, Ndiffuse=300, temp_sample=0.1)
     flag_cfg = dict(Nsample=8192, Hsample=50, Ndiffuse=300, temp_sample=0.1)

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seed mode: run all seeds as one batched device "
                         "program (mbd.plan_batch) instead of serially")
     p.add_argument("--results_dir", default="results")
+    p.add_argument("--platform", default="",
+                   help="pin the jax backend (e.g. 'cpu' when the TPU "
+                        "tunnel is down); empty = environment default")
     return p
 
 
@@ -238,6 +241,7 @@ def run_multiple_temp(args) -> None:
         "best_temp": best,
         "best_reward": results[best]["rew_mean"],
         "n_seeds": args.n_seeds,
+        "backend": jax.default_backend(),
         "config": dict(Nsample=args.Nsample, Hsample=args.Hsample,
                        Ndiffuse=args.Ndiffuse),
     }
@@ -249,6 +253,9 @@ def run_multiple_temp(args) -> None:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ..utils.platform import force_platform
+
+    force_platform(args.platform)
     if args.mode == "single":
         rew = run_single(args)
         print(f"final reward = {rew:.2e}")

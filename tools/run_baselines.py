@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 METHODS = ["mppi", "cem", "cma-es"]
 
 
-def worker(task: str):
+def worker(task: str, platform: str = ""):
+    from mbd_tpu.utils.platform import force_platform
+
+    force_platform(platform)
     import jax
 
     jax.config.update(
@@ -42,6 +45,8 @@ def worker(task: str):
     print(json.dumps({
         "env": env_name, "method": method, "seed": seed,
         "final_reward": float(res.final_reward),
+        "final_diverged": bool(res.final_diverged),
+        "backend": jax.default_backend(),
         "wall_s": round(time.time() - t0, 1),
         "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
                        Nrefine=cfg.Nrefine, temp=cfg.temp_sample),
@@ -55,10 +60,13 @@ def main():
     p.add_argument("--timeout", type=int, default=2400)
     p.add_argument("--out", default="docs/RESULTS_BASELINES.json")
     p.add_argument("--worker", default=None)
+    p.add_argument("--platform", default="",
+                   help="pin the jax backend (e.g. 'cpu' when the TPU "
+                        "tunnel is down); empty = environment default")
     args = p.parse_args()
 
     if args.worker:
-        worker(args.worker)
+        worker(args.worker, args.platform)
         return
 
     import numpy as np
@@ -68,29 +76,41 @@ def main():
     tasks = [f"{args.env}:{m}:{s}" for m in METHODS
              for s in range(args.n_seeds)]
     records = launcher.run_tasks(
-        [sys.executable, os.path.abspath(__file__), "--worker", "{task}"],
+        [sys.executable, os.path.abspath(__file__), "--worker", "{task}",
+         "--platform", args.platform],
         tasks, timeout_sec=args.timeout, retries=1, jobs=1)
 
     baselines = {}
     cfg = None
     for m in METHODS:
-        rews = [r["result"]["final_reward"] for r in records
+        recs = [r["result"] for r in records
                 if not r.get("failed") and r["result"]["method"] == m]
-        walls = [r["result"]["wall_s"] for r in records
-                 if not r.get("failed") and r["result"]["method"] == m]
-        cfgs = [r["result"]["config"] for r in records
-                if not r.get("failed") and r["result"]["method"] == m]
-        if not rews:
+        if not recs:
             baselines[m] = {"failed": True}
             continue
-        cfg = cfgs[0]
+        cfg = recs[0]["config"]
+        # divergence-honest aggregate: a flagged seed's reward is never
+        # averaged in silently (same policy as tools/run_results.py)
+        rews = [r["final_reward"] for r in recs
+                if not r.get("final_diverged", False)]
+        n_div = sum(bool(r.get("final_diverged", False)) for r in recs)
+        walls = [r["wall_s"] for r in recs]
         baselines[m] = {
-            "rew_mean": float(np.mean(rews)),
-            "rew_std": float(np.std(rews)),
-            "n_seeds": len(rews),
+            "rew_mean": float(np.mean(rews)) if rews else None,
+            "rew_std": float(np.std(rews)) if rews else None,
+            "n_seeds": len(recs),
+            "n_diverged": n_div,
+            "per_seed": {
+                "rewards": [round(r["final_reward"], 4) for r in recs],
+                "diverged": [bool(r.get("final_diverged", False))
+                             for r in recs],
+            },
+            "backend": recs[0].get("backend"),
             "wall_total_s": round(float(np.sum(walls)), 1),
         }
-        print(f"{m}: {np.mean(rews):.3f} ± {np.std(rews):.3f}", flush=True)
+        if rews:
+            print(f"{m}: {np.mean(rews):.3f} ± {np.std(rews):.3f}"
+                  f"{f' ({n_div} DIVERGED)' if n_div else ''}", flush=True)
 
     mbd_point = None
     res_path = os.path.join("docs", "RESULTS.json")

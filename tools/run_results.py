@@ -32,7 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def worker(task: str, engine: str, n_seeds: int, chunk_size: int,
-           results_dir: str):
+           results_dir: str, platform: str = ""):
+    from mbd_tpu.utils.platform import force_platform
+
+    force_platform(platform)
     import jax
 
     jax.config.update(
@@ -136,6 +139,7 @@ def _aggregate(rec):
             "diverged": [bool(d) for d in div],
         },
         "wall_s_total": rec.get("wall_s"),
+        "backend": rec.get("backend"),
         "config": rec["config"],
     }
     if div.any():
@@ -164,6 +168,9 @@ def main():
     p.add_argument("--out", default="docs/RESULTS.json")
     p.add_argument("--results_dir", default="results")
     p.add_argument("--worker", default=None, help="internal: run one task")
+    p.add_argument("--platform", default="",
+                   help="pin the jax backend (e.g. 'cpu' when the TPU "
+                        "tunnel is down); empty = environment default")
     p.add_argument("--from_npz", nargs="+", default=None,
                    help="rebuild rows from results/<env>/seed_harness.npz "
                         "(recovers a killed sweep's completed tasks — each "
@@ -173,7 +180,7 @@ def main():
 
     if args.worker:
         worker(args.worker, args.engine, args.n_seeds, args.chunk_size,
-               args.results_dir)
+               args.results_dir, args.platform)
         return
 
     if args.from_npz:
@@ -210,7 +217,8 @@ def main():
         [sys.executable, os.path.abspath(__file__), "--worker", "{task}",
          "--engine", args.engine, "--n_seeds", str(args.n_seeds),
          "--chunk_size", str(args.chunk_size),
-         "--results_dir", args.results_dir],
+         "--results_dir", args.results_dir,
+         "--platform", args.platform],
         args.envs, timeout_sec=args.timeout, retries=1, jobs=1)
 
     results = {}
