@@ -72,7 +72,10 @@ def reward_from_qs(env, qs, qds, us, q0, qd0):
     return float(np.asarray(rews).mean())
 
 
-def worker(task: str):
+def worker(task: str, platform: str = ""):
+    from mbd_tpu.utils.platform import force_platform
+
+    force_platform(platform)
     import jax
 
     jax.config.update(
@@ -202,6 +205,9 @@ def main():
     p.add_argument("--timeout", type=int, default=2400)
     p.add_argument("--out", default="docs/RESULTS_CROSSSIM.json")
     p.add_argument("--worker", default=None)
+    p.add_argument("--platform", default="",
+                   help="pin the jax backend (e.g. 'cpu' when the TPU "
+                        "tunnel is down); empty = environment default")
     p.add_argument("--from_npz", nargs="+", default=None,
                    help="cross-validate the saved seed-harness plans for "
                         "these envs (all 8 seeds, MuJoCo only, no "
@@ -209,7 +215,7 @@ def main():
     args = p.parse_args()
 
     if args.worker:
-        worker(args.worker)
+        worker(args.worker, args.platform)
         return
 
     if args.from_npz:
@@ -236,7 +242,8 @@ def main():
 
     tasks = [f"{e}:{args.seed}" for e in args.envs]
     records = launcher.run_tasks(
-        [sys.executable, os.path.abspath(__file__), "--worker", "{task}"],
+        [sys.executable, os.path.abspath(__file__), "--worker", "{task}",
+         "--platform", args.platform],
         tasks, timeout_sec=args.timeout, retries=1, jobs=1)
 
     results = {"_semantics": {
