@@ -41,10 +41,22 @@ def _pm(mean, std):
     return f"{mean:.2f} ± {std:.2f}"
 
 
+def _backend_tag(rec):
+    """Rows are measured on the TPU chip unless the evidence says
+    otherwise (CPU re-measures while the TPU tunnel was down record
+    backend='cpu'); reward semantics are backend-independent, wall times
+    are not, so the provenance is surfaced."""
+    b = rec.get("backend")
+    return f"measured on {b.upper()}" if b and b != "tpu" else ""
+
+
 def _row_reward(row):
     """Honest reward cell: clean aggregate + flag note when seeds diverged."""
-    stale = ("measured pre contact-solver fix; re-measure pending"
-             if row.get("stale_pre_pgs_fix") else "")
+    notes = [n for n in (
+        "measured pre contact-solver fix; re-measure pending"
+        if row.get("stale_pre_pgs_fix") else "",
+        _backend_tag(row)) if n]
+    stale = "; ".join(notes)
     nd = row.get("n_diverged", 0)
     n = row.get("n_seeds", 0)
     if not nd:
@@ -97,11 +109,15 @@ def demo_table(results):
 
 
 def _stale_tag(rec):
-    if not rec.get("stale_pre_pgs_fix"):
-        return ""
-    note = rec.get("stale_note",
-                   "pre contact-solver-fix measurement; re-measure pending")
-    return f" _({note})_"
+    notes = []
+    if rec.get("stale_pre_pgs_fix"):
+        notes.append(rec.get(
+            "stale_note",
+            "pre contact-solver-fix measurement; re-measure pending"))
+    b = _backend_tag(rec)
+    if b:
+        notes.append(b)
+    return f" _({'; '.join(notes)})_" if notes else ""
 
 
 def baselines_table(bl, results):
@@ -113,14 +129,26 @@ def baselines_table(bl, results):
         cell, _ = _row_reward(mbd_row)
         lines.append(f"| **MBD (ours)** | **{cell}** |")
     env_rows = bl.get("baselines", bl)
+    backends = set()
     for name in ["mppi", "cem", "cma-es"]:
         row = env_rows.get(name)
-        if row is None:
+        if row is None or row.get("failed"):
             continue
+        if row.get("backend"):
+            backends.add(row["backend"])
+        nd = row.get("n_diverged", 0)
+        if row.get("rew_mean") is None:
+            cell = "— (all seeds diverged)"
+        else:
+            cell = _pm(row["rew_mean"], row["rew_std"])
+            if nd:
+                cell += f", {nd} diverged seed{'s' if nd > 1 else ''} excluded"
         lines.append(f"| {name.upper()} |"
-                     f" {_pm(row['rew_mean'], row['rew_std'])}"
-                     f" ({row['n_seeds']} seeds) |")
-    return "\n".join(lines) + _stale_tag(bl)
+                     f" {cell} ({row['n_seeds']} seeds) |")
+    tag = _stale_tag(bl)
+    if not tag and backends - {"tpu"}:
+        tag = f" _(measured on {'/'.join(sorted(backends)).upper()})_"
+    return "\n".join(lines) + tag
 
 
 def temp_line(temp):
@@ -168,7 +196,8 @@ def render():
         BEGIN,
         "",
         "MBD with recommended per-env configs, 8-seed harness (the "
-        "reference protocol, run_mbd.py:20), one TPU v5e chip "
+        "reference protocol, run_mbd.py:20), one TPU v5e chip unless a "
+        "row says otherwise "
         "(`docs/RESULTS.json`, per-seed rewards + engine divergence flags "
         "inside). Rows with flagged seeds report the clean-seed mean — a "
         "flagged rollout's reward is not an earned number:",
