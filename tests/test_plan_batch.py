@@ -85,12 +85,18 @@ def test_plan_batch_demo_pallas_tpu():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("method", ["mppi", "cem", "cma-es"])
-def test_path_integral_plan_batch_matches_serial(method):
+def test_path_integral_plan_batch_matches_serial():
+    """Engine-level serial-vs-batched parity for the path-integral
+    planner. One update method suffices here: the seed-fold mechanics
+    (per-seed sampling/eval/masking/softmax) are method-independent, and
+    plan_batch applies the method-specific update as jax.vmap of the
+    exact serial update function — whose batching semantics
+    test_path_integral_batched_updates_match_loop pins for all three
+    methods without compiling six planner programs."""
     from mbd_tpu.planners import path_integral as pi
 
     env = envs.get_env("hopper")
-    cfg = pi.PathIntegralConfig(update_method=method, Nsample=32,
+    cfg = pi.PathIntegralConfig(update_method="mppi", Nsample=32,
                                 Hsample=8, Nrefine=6)
     rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(2)])
     batch = pi.plan_batch(env, cfg, rngs, engine="fused")
@@ -99,3 +105,34 @@ def test_path_integral_plan_batch_matches_serial(method):
                                np.asarray(batch.rews_trace[1]), atol=5e-3)
     np.testing.assert_allclose(float(serial.final_reward),
                                float(batch.final_reward[1]), atol=5e-3)
+
+
+@pytest.mark.parametrize("method", ["mppi", "cem", "cma-es"])
+def test_path_integral_batched_updates_match_loop(method):
+    """plan_batch's per-seed update (jax.vmap(update_fn) with the valid
+    mask riding along, path_integral.py::plan_batch) must equal a python
+    loop of the serial update rule — pins the axis conventions for every
+    method, including demotion masking, without any engine compile."""
+    from mbd_tpu.planners import path_integral as pi
+
+    rng = np.random.RandomState(0)
+    S, N, H, nu = 3, 16, 5, 2
+    cfg = pi.PathIntegralConfig(update_method=method, Nsample=N,
+                                Hsample=H, cem_elite=4)
+    fn = pi._UPDATE_FNS[method]
+    weights = jax.nn.softmax(jnp.asarray(rng.randn(S, N)), axis=1)
+    Y0s = jnp.asarray(rng.randn(S, N, H, nu), jnp.float32)
+    sigma = jnp.asarray(np.abs(rng.randn(S)), jnp.float32)
+    mu = jnp.asarray(rng.randn(S, H, nu), jnp.float32)
+    valid = jnp.asarray(rng.rand(S, N) > 0.3)
+
+    batched = jax.vmap(
+        lambda w, y, s, m, v: fn(w, y, s, m, cfg, valid=v))(
+        weights, Y0s, sigma, mu, valid)
+    for s in range(S):
+        mu_s, sig_s = fn(weights[s], Y0s[s], sigma[s], mu[s], cfg,
+                         valid=valid[s])
+        np.testing.assert_allclose(np.asarray(batched[0][s]),
+                                   np.asarray(mu_s), atol=1e-6)
+        np.testing.assert_allclose(float(batched[1][s]), float(sig_s),
+                                   atol=1e-6)
