@@ -82,8 +82,11 @@ def render():
     for env in ENVS:
         row = results.get(env) or {}
         any_stale |= bool(row.get("stale_pre_pgs_fix"))
-        cells = [c for c in (_mj_cell(mj.get(env)),
-                             _mj_cell(mj.get(f"{env}_N512"))) if c]
+        budget_keys = sorted(
+            (k for k in mj if re.fullmatch(re.escape(env) + r"_N\d+", k)),
+            key=lambda k: int(k.rsplit("_N", 1)[1]))
+        cells = [c for c in ([_mj_cell(mj.get(env))]
+                             + [_mj_cell(mj[k]) for k in budget_keys]) if c]
         mj_cell = "; ".join(cells) if cells else "_not measured_"
         fl = _floor(env, cross8, cross1)
         fl_cell = f"{fl:.2f}" if fl is not None else "—"

@@ -171,6 +171,9 @@ def main():
     p.add_argument("--seeds", type=int, nargs="+", default=[0],
                    help="multi-seed: mean ± std recorded per env")
     p.add_argument("--out", default="docs/RESULTS_MBD_ON_MUJOCO.json")
+    p.add_argument("--key_suffix", default="",
+                   help="record rows under <env><suffix> (e.g. '_N512') "
+                        "so budget sweeps don't overwrite the base row")
     args = p.parse_args()
 
     import jax
@@ -190,15 +193,17 @@ def main():
                        "error": f"{type(e).__name__}: {e}"}
             print(json.dumps(res), flush=True)
             runs.append(res)
-        ok = [r for r in runs if not r.get("failed")]
-        row = {"runs": runs, "n_seeds": len(args.seeds)}
-        if ok:
-            rews = [r["reward_mbd_on_mujoco"] for r in ok]
-            row["reward_mean"] = float(np.mean(rews))
-            row["reward_std"] = float(np.std(rews))
-        results[name] = row
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
+            # persist after EVERY seed: a killed/timed-out sweep keeps its
+            # completed seeds (a humanoidrun seed at N=2048 is ~2 h here)
+            ok = [r for r in runs if not r.get("failed")]
+            row = {"runs": list(runs), "n_seeds": len(runs)}
+            if ok:
+                rews = [r["reward_mbd_on_mujoco"] for r in ok]
+                row["reward_mean"] = float(np.mean(rews))
+                row["reward_std"] = float(np.std(rews))
+            results[name + args.key_suffix] = row
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
     print(f"wrote {args.out}")
 
 
