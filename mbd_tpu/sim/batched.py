@@ -22,6 +22,7 @@ enforced by tests/test_batched_engine.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, NamedTuple, Tuple
 
 import jax
@@ -748,31 +749,34 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
     vbias_st = jnp.stack([e[4] + zero for e in pre])
     fnmax_st = jnp.stack([e[5] + zero for e in pre])
 
-    def row_update(rhs_a, row):
-        # rhs_a [nv, *B]; row = this constraint's stacked slices
-        MinvJ_c, rows_c, m_eff_c, vn_c, vbias_c, fnmax_c, fn_c = row
-        jacc = (MinvJ_c * rhs_a).sum(axis=0)
-        vn_pred = vn_c + h * jacc
-        fn_new = jnp.clip(fn_c + m_eff_c * (vbias_c - vn_pred) / h,
-                          0.0, fnmax_c)
-        rhs_a = rhs_a + rows_c * (fn_new - fn_c)
-        return rhs_a, fn_new
+    # nested fori_loops (NOT lax.scan): the Pallas whole-rollout kernel
+    # traces this function through Mosaic, and Mosaic only lowers scans it
+    # can pattern-match back to fori_loops — a scan carrying the rhs
+    # accumulator is rejected ("not a fori_loop index"). fori_loop +
+    # dynamic row indexing lowers everywhere; the dynamic slice rides the
+    # untiled leading axis, so it is a cheap vector load on TPU. Row
+    # order, math, and projection are identical to the scan form.
+    C = len(pre)
+    idx = functools.partial(jax.lax.dynamic_index_in_dim, axis=0,
+                            keepdims=False)
 
-    def sweep(carry, _):
-        # lax.scan walks the stacked row axis natively (no dynamic
-        # gathers); fns from the previous pass ride in as scan inputs and
-        # the pass's updated forces come back out as the scan's ys
+    def row_body(c, carry):
+        # rhs_a [nv, *B]; fns [C, *B] = this sweep's accumulated forces
         rhs_a, fns = carry
-        rhs_a, fns = jax.lax.scan(
-            row_update, rhs_a,
-            (MinvJ_st, rows_st, m_eff_st, vn_st, vbias_st, fnmax_st, fns))
-        return (rhs_a, fns), None
+        fn_c = idx(fns, c)
+        jacc = (idx(MinvJ_st, c) * rhs_a).sum(axis=0)
+        vn_pred = idx(vn_st, c) + h * jacc
+        fn_new = jnp.clip(
+            fn_c + idx(m_eff_st, c) * (idx(vbias_st, c) - vn_pred) / h,
+            0.0, idx(fnmax_st, c))
+        rhs_a = rhs_a + idx(rows_st, c) * (fn_new - fn_c)
+        fns = jax.lax.dynamic_update_index_in_dim(fns, fn_new, c, 0)
+        return rhs_a, fns
 
-    (rhs_a, _), _ = jax.lax.scan(
-        sweep,
-        (jnp.stack([r + zero for r in rhs]), jnp.zeros((len(pre),) + B,
-                                                       dtype)),
-        None, length=N_GS_PASSES)
+    rhs_a, _ = jax.lax.fori_loop(
+        0, N_GS_PASSES,
+        lambda _, carry: jax.lax.fori_loop(0, C, row_body, carry),
+        (jnp.stack([r + zero for r in rhs]), jnp.zeros((C,) + B, dtype)))
     return [rhs_a[i] for i in range(sys.nv)]
 
 
