@@ -26,6 +26,7 @@ Failures are LOUD: an error JSON line + exit 1, never a silent fallback.
 
 import json
 import time
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -192,6 +193,31 @@ def _watchdog(seconds: float):
     return done
 
 
+def _preflight_pallas(env_name: str) -> Optional[str]:
+    """Lowering tripwire (VERDICT r3 item 3): actually compile the Pallas
+    whole-rollout kernel through Mosaic on the live chip BEFORE the timed
+    run. CPU tests run the kernel in interpret mode, so a Mosaic lowering
+    regression (r3: the PGS sweep's dynamic_slice) is invisible to the
+    suite — this is the only place it can be caught. Returns None when the
+    kernel lowers and runs, else the error string."""
+    import traceback
+
+    from mbd_tpu import envs
+    from mbd_tpu.ops.rollout_pallas import rollout_rewards_pallas
+
+    try:
+        env = envs.get_env(env_name)
+        state0 = env.reset(jax.random.PRNGKey(0))
+        Y = jnp.zeros((64, 4, env.action_size))
+        fn = jax.jit(lambda s, y: rollout_rewards_pallas(env, s, y,
+                                                         b_tile=64))
+        jax.block_until_ready(fn(state0, Y))
+        return None
+    except Exception as e:  # noqa: BLE001
+        return (f"{type(e).__name__}: {e}\n"
+                + traceback.format_exc()[-1500:])
+
+
 def main():
     import os
     import traceback
@@ -208,11 +234,23 @@ def main():
     done = _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "2700")))
     north_cfg = dict(Nsample=1024, Hsample=50, Ndiffuse=300, temp_sample=0.1)
     flag_cfg = dict(Nsample=8192, Hsample=50, Ndiffuse=300, temp_sample=0.1)
+
+    # Lowering tripwire: compile the Pallas kernel through Mosaic FIRST.
+    # On failure the bench degrades to the XLA-fused engine and still
+    # publishes that number — a kernel regression costs the round its
+    # speed, never its perf evidence (VERDICT r3 item 3) — with the Mosaic
+    # error carried loudly in the output.
+    pallas_error = None
+    engine = None
+    if jax.default_backend() == "tpu":
+        pallas_error = _preflight_pallas("humanoidrun")
+        if pallas_error is not None:
+            engine = "fused"
     try:
-        result = _bench("humanoidrun", north_cfg, engine=None,
+        result = _bench("humanoidrun", north_cfg, engine=engine,
                         target_s=10.0, chunk=50)
         result["flagship_Nsample8192"] = _bench(
-            "humanoidrun", flag_cfg, engine=None, target_s=None, chunk=50)
+            "humanoidrun", flag_cfg, engine=engine, target_s=None, chunk=50)
         result["flop_model"] = _flop_model(
             "humanoidrun", north_cfg, chunk=50,
             wall_s=result["wall_s"], n_steps=north_cfg["Ndiffuse"] - 1)
@@ -225,6 +263,13 @@ def main():
         }))
         raise SystemExit(1)
     done.set()
+    if pallas_error is not None:
+        result["metric"] = ("DEGRADED (Pallas kernel failed Mosaic "
+                            "lowering; XLA-fused engine measured instead): "
+                            + result["metric"])
+        result["pallas_lowering_error"] = pallas_error
+    else:
+        result["pallas_lowering"] = "ok (kernel compiled+ran pre-flight)"
     print(json.dumps(result))
 
 

@@ -77,8 +77,11 @@ def make_rollout_kernel(sys: System, env, n_frames: int, H: int,
         def env_step(t, carry):
             q_prev, qd_prev, bad, acc = carry
             u = U_ref[t]                       # [nu, 8, lt]
+            # static_rows: Mosaic cannot lower dynamic_slice, so the PGS
+            # constraint sweep must use its statically-unrolled form here
             q, qd, bad = BT.env_step_checked_b(sys, q_prev, qd_prev, u,
-                                               n_frames, bad)
+                                               n_frames, bad,
+                                               static_rows=True)
             r = env.reward_qs_b(q[None], qd[None], u[None], q_prev,
                                 qd_prev)[0]    # [8, lt]
             rews_ref[t] = r

@@ -252,7 +252,8 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
 
 
 def make_reverse_once_batch(env, cfg: MBDConfig, states_init, sched,
-                            n_seeds: int, engine: str = "vmap") -> Callable:
+                            n_seeds: int, engine: str = "vmap",
+                            mesh: Optional[Mesh] = None) -> Callable:
     """Seed-batched reverse update: S independent denoises in one program.
 
     The reference runs its 8-seed acceptance harness serially
@@ -260,6 +261,13 @@ def make_reverse_once_batch(env, cfg: MBDConfig, states_init, sched,
     axis — the engines roll out S·Nsample trajectories per step (each seed's
     samples start from that seed's own reset state) and every reduction
     (standardize / demo fusion / softmax / barycenter) is per-seed.
+
+    ``mesh``: optional 1-D device mesh — the flattened S·Nsample axis is
+    sharded across it (each chip rolls out its shard of every seed's
+    samples via jax.shard_map, exactly like the single-seed planner's
+    meshed path); the per-seed reductions become small ICI collectives.
+    The two headline scaling features (seed-batching, multi-chip sharding)
+    compose here.
 
     carry = (rngs [S] keys, Ybar_i [S, H, nu]); x = step index.
     ``states_init``: a State pytree with leading seed axis (vmap(env.reset)).
@@ -276,32 +284,59 @@ def make_reverse_once_batch(env, cfg: MBDConfig, states_init, sched,
         from ..rollout.fused import rollout_rewards
         if engine == "pallas":
             from ..ops.rollout_pallas import rollout_rewards_pallas
-        b_tile = min(1024, ((S * N + 7) // 8) * 8)
+        n_loc = (S * N // mesh.devices.size if mesh is not None
+                 else S * N)
+        b_tile = min(1024, ((n_loc + 7) // 8) * 8)
         # per-sample initial states: seed-major [nq, S*N] (sample s*N+n
         # starts from seed s's reset state)
         q0 = jnp.repeat(states_init.pipeline_state.q.T, N, axis=1)
         qd0 = jnp.repeat(states_init.pipeline_state.qd.T, N, axis=1)
-        shim = SimpleNamespace(
-            pipeline_state=SimpleNamespace(q=q0, qd=qd0))
 
-        def eval_samples(Y0s):                      # [S, N, H, nu]
-            flat = Y0s.reshape(S * N, cfg.Hsample, nu)
+        def _eval_flat(flat, q0_, qd0_):
+            """Per-sample evaluation on a [n, H, nu] shard: no cross-sample
+            coupling, so shard_map'ing it over the flat S·N axis is exact."""
+            shim = SimpleNamespace(
+                pipeline_state=SimpleNamespace(q=q0_, qd=qd0_))
             if engine == "pallas":
                 if cfg.enable_demo:
                     rewss, bad, logpd = rollout_rewards_pallas(
                         env, shim, flat, b_tile=b_tile, demo=True)
-                    logpd = logpd.reshape(S, N)
                 else:
                     rewss, bad = rollout_rewards_pallas(env, shim, flat,
                                                         b_tile=b_tile)
-                    logpd = jnp.zeros((S, N))
+                    logpd = jnp.zeros(rewss.shape[0])
             else:
                 rewss, ps, bad = rollout_rewards(
                     env, shim, flat, need_states=cfg.enable_demo or None)
-                logpd = (env.traj_xref_logpd(ps).reshape(S, N)
-                         if cfg.enable_demo else jnp.zeros((S, N)))
-            return (rewss.mean(axis=-1).reshape(S, N),
-                    bad.reshape(S, N), logpd)
+                logpd = (env.traj_xref_logpd(ps) if cfg.enable_demo
+                         else jnp.zeros(rewss.shape[0]))
+            return rewss.mean(axis=-1), bad, logpd
+
+        if mesh is not None:
+            # same rationale as make_reverse_once's meshed path: pallas_call
+            # does not auto-partition under GSPMD and the fused engine's
+            # packing reshape invites a silent all-gather, so the rollout
+            # runs inside shard_map — the seed-major initial states ride in
+            # as explicit sample-sharded operands (they vary per sample,
+            # unlike the single-seed path's replicated closure state)
+            from jax.sharding import PartitionSpec as P
+            axis = mesh.axis_names[0]
+            eval_flat = jax.shard_map(
+                _eval_flat, mesh=mesh,
+                in_specs=(P(axis), P(None, axis), P(None, axis)),
+                out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False)  # pallas out_shapes carry no vma metadata
+        else:
+            eval_flat = _eval_flat
+
+        def eval_samples(Y0s):                      # [S, N, H, nu]
+            flat = Y0s.reshape(S * N, cfg.Hsample, nu)
+            if mesh is not None:
+                flat = jax.lax.with_sharding_constraint(
+                    flat, sample_sharding(mesh))
+            rews, bad, logpd = eval_flat(flat, q0, qd0)
+            return (rews.reshape(S, N), bad.reshape(S, N),
+                    logpd.reshape(S, N))
     else:
         batch_rollout = jax.vmap(
             jax.vmap(functools.partial(rollout_us, env.step),
@@ -368,18 +403,20 @@ def make_reverse_once_batch(env, cfg: MBDConfig, states_init, sched,
 
 def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
                chunk_size: int = 0, progress_fn=None,
-               engine: Optional[str] = None) -> MBDResult:
+               engine: Optional[str] = None,
+               mesh: Optional[Mesh] = None) -> MBDResult:
     """Seed-batched planning with a LOUD pallas→fused safety net (see
     ``_plan_batch_impl`` for the semantics). The Pallas kernel traces the
     full physics substep through Mosaic; if a Mosaic lowering regression
     ever rejects it, the harness must degrade to the XLA-fused engine —
     same math, same engine family for the published numbers — rather than
-    die mid-sweep."""
+    die mid-sweep. ``mesh``: shard the flattened S·Nsample axis over a 1-D
+    device mesh (seed-batching and multi-chip sharding compose)."""
     if engine is None:
-        engine = default_engine(env)
+        engine = default_engine(env, mesh)
     try:
         return _plan_batch_impl(env, cfg, rngs, jit, chunk_size,
-                                progress_fn, engine)
+                                progress_fn, engine, mesh)
     except Exception as e:
         if engine != "pallas":
             raise
@@ -388,11 +425,12 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
             f"pallas engine failed ({type(e).__name__}: {e}); retrying "
             "with the XLA-fused engine", RuntimeWarning, stacklevel=2)
         return _plan_batch_impl(env, cfg, rngs, jit, chunk_size,
-                                progress_fn, "fused")
+                                progress_fn, "fused", mesh)
 
 
 def _plan_batch_impl(env, cfg: MBDConfig, rngs: jax.Array, jit: bool,
-                     chunk_size: int, progress_fn, engine: str) -> MBDResult:
+                     chunk_size: int, progress_fn, engine: str,
+                     mesh: Optional[Mesh] = None) -> MBDResult:
     """Run S independent full denoises as one batched device program.
 
     ``rngs``: [S] stacked PRNG keys, one per seed. Each seed's RNG chain is
@@ -419,13 +457,14 @@ def _plan_batch_impl(env, cfg: MBDConfig, rngs: jax.Array, jit: bool,
     def _build():
         def reverse_chunk(carry, steps, states_init_op):
             reverse_once = make_reverse_once_batch(env, cfg, states_init_op,
-                                                   sched, S, engine=engine)
+                                                   sched, S, engine=engine,
+                                                   mesh=mesh)
             return jax.lax.scan(reverse_once, carry, steps)
         return reverse_chunk
 
     if jit:
         reverse_chunk = _cached_reverse_chunk(
-            env, (astuple(cfg), engine, None, S), _build)
+            env, (astuple(cfg), engine, mesh, S), _build)
     else:
         reverse_chunk = _build()
 

@@ -619,7 +619,8 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
                    cons: List[ContactB], fac: LDL,
                    rhs: List[Arr], h: float,
                    qd: Arr = None,
-                   limits: List[Tuple[int, float, Arr]] = ()) -> List[Arr]:
+                   limits: List[Tuple[int, float, Arr]] = (),
+                   static_rows: bool = False) -> List[Arr]:
     """Accumulate contact AND joint-limit forces into the net-force list
     ``rhs`` (= qfrc − bias − damping·qd, list of [B] per dof).
     ``limits`` entries are (dof, sign, violation[B]) unilateral 1-dof
@@ -749,14 +750,42 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
     vbias_st = jnp.stack([e[4] + zero for e in pre])
     fnmax_st = jnp.stack([e[5] + zero for e in pre])
 
-    # nested fori_loops (NOT lax.scan): the Pallas whole-rollout kernel
-    # traces this function through Mosaic, and Mosaic only lowers scans it
-    # can pattern-match back to fori_loops — a scan carrying the rhs
-    # accumulator is rejected ("not a fori_loop index"). fori_loop +
-    # dynamic row indexing lowers everywhere; the dynamic slice rides the
-    # untiled leading axis, so it is a cheap vector load on TPU. Row
-    # order, math, and projection are identical to the scan form.
+    # Two row-sweep forms over the same stacked data, selected by
+    # ``static_rows`` — identical math, row order, and projection, so the
+    # trajectories are bit-identical:
+    #
+    # * static_rows=False (the XLA engines): fori_loop(passes) ·
+    #   fori_loop(rows) with dynamic row indexing. One compiled row body
+    #   regardless of constraint count — the per-row code-unrolled sweep
+    #   stalled XLA compiles superlinearly (humanoidstandup, ~40 contacts
+    #   + 34 limit rows, >1 h server-side; walker2d ~10 rows minutes).
+    # * static_rows=True (the Pallas whole-rollout kernel): Mosaic cannot
+    #   lower dynamic_slice at all (NotImplementedError, BENCH_r03), so
+    #   the row loop is statically unrolled with static slices of the
+    #   stacked arrays. Unlike the round-2 blowup, each unrolled body is
+    #   ~8 homogeneous vector ops on [nv, *B]/[*B] tensors (the stacking
+    #   does the compression), and Mosaic compiles program sizes like
+    #   this fine.
     C = len(pre)
+    init = (jnp.stack([r + zero for r in rhs]), jnp.zeros((C,) + B, dtype))
+
+    if static_rows:
+        def sweep(_, carry):
+            rhs_a, fns = carry
+            fns_l = [fns[c] for c in range(C)]
+            for c in range(C):
+                jacc = (MinvJ_st[c] * rhs_a).sum(axis=0)
+                vn_pred = vn_st[c] + h * jacc
+                fn_new = jnp.clip(
+                    fns_l[c] + m_eff_st[c] * (vbias_st[c] - vn_pred) / h,
+                    0.0, fnmax_st[c])
+                rhs_a = rhs_a + rows_st[c] * (fn_new - fns_l[c])
+                fns_l[c] = fn_new
+            return rhs_a, jnp.stack(fns_l)
+
+        rhs_a, _ = jax.lax.fori_loop(0, N_GS_PASSES, sweep, init)
+        return [rhs_a[i] for i in range(sys.nv)]
+
     idx = functools.partial(jax.lax.dynamic_index_in_dim, axis=0,
                             keepdims=False)
 
@@ -775,8 +804,7 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
 
     rhs_a, _ = jax.lax.fori_loop(
         0, N_GS_PASSES,
-        lambda _, carry: jax.lax.fori_loop(0, C, row_body, carry),
-        (jnp.stack([r + zero for r in rhs]), jnp.zeros((C,) + B, dtype)))
+        lambda _, carry: jax.lax.fori_loop(0, C, row_body, carry), init)
     return [rhs_a[i] for i in range(sys.nv)]
 
 
@@ -784,8 +812,11 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
 # full substep + rollout (batch-last)
 # ---------------------------------------------------------------------------
 
-def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr):
-    """One physics substep. q [nq, B], qd [nv, B], ctrl [nu, B]."""
+def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr,
+              static_rows: bool = False):
+    """One physics substep. q [nq, B], qd [nv, B], ctrl [nu, B].
+    ``static_rows`` selects the Mosaic-compatible PGS sweep form
+    (see contact_qfrc_b) — values are bit-identical either way."""
     tc = topo(sys)
     dtype = q.dtype
     B = q.shape[1:]
@@ -859,7 +890,8 @@ def substep_b(sys: System, q: Arr, qd: Arr, ctrl: Arr):
     cons = collide_b(sys, kin) if sys.contact_pairs else []
     if cons or limits:
         rhs = contact_qfrc_b(sys, kin, v_b, cons, fac, rhs, h,
-                             qd=qd, limits=limits)
+                             qd=qd, limits=limits,
+                             static_rows=static_rows)
     qacc = ldl_solve(fac, rhs)
 
     qd_new = jnp.stack([qd[i] + h * qacc[i] for i in range(sys.nv)])
@@ -971,17 +1003,19 @@ def _height_sensors(sys: System):
     return sensors, floor_z
 
 
-def env_step_b(sys: System, q: Arr, qd: Arr, ctrl: Arr, n_frames: int):
+def env_step_b(sys: System, q: Arr, qd: Arr, ctrl: Arr, n_frames: int,
+               static_rows: bool = False):
     """n_frames substeps (fori_loop — body traced once)."""
     def body(_, carry):
         q, qd = carry
-        return substep_b(sys, q, qd, ctrl)
+        return substep_b(sys, q, qd, ctrl, static_rows=static_rows)
 
     return jax.lax.fori_loop(0, n_frames, body, (q, qd))
 
 
 def env_step_checked_b(sys: System, q: Arr, qd: Arr, ctrl: Arr,
-                       n_frames: int, bad: Arr):
+                       n_frames: int, bad: Arr,
+                       static_rows: bool = False):
     """env_step_b + divergence tracking: returns (q, qd, bad') where bad'
     accumulates [B] flags for samples that left the physical validity
     envelope — joint speeds beyond QD_DIVERGED, or a root body sunk more
@@ -992,7 +1026,7 @@ def env_step_checked_b(sys: System, q: Arr, qd: Arr, ctrl: Arr,
 
     def body(_, carry):
         q, qd, bad = carry
-        q, qd = substep_b(sys, q, qd, ctrl)
+        q, qd = substep_b(sys, q, qd, ctrl, static_rows=static_rows)
         speed = jnp.max(jnp.abs(qd), axis=0)
         bad = jnp.maximum(bad, (speed > QD_DIVERGED).astype(q.dtype))
         if hs is not None:

@@ -98,3 +98,30 @@ def test_topo_cache_keys_on_structure_not_identity():
     assert len(t_hop.dof_body) != len(t_cart.dof_body)
     # reloading the same scene hits the same cache entry (structural key)
     assert BT.topo(load_mjcf(asset_path("hopper.xml"))) is t_hop
+
+
+@pytest.mark.parametrize("scene", ["walker2d", "hopper"])
+def test_static_rows_sweep_matches_dynamic(scene):
+    """The two PGS row-sweep forms (static_rows=True — the statically
+    unrolled Mosaic-compatible form the Pallas kernel traces; False — the
+    dynamic-index fori_loop form the XLA engines use) must produce
+    bit-identical trajectories: same stacked data, same row order, same
+    projection (sim/batched.py::contact_qfrc_b). Contact-rich scenes so
+    both contacts AND joint-limit rows enter the sweep."""
+    sys = load_mjcf(asset_path(f"{scene}.xml"))
+    qs, qds, ctrl = _rand_batch(sys, seed=3)
+    # drop the root so feet/torso actually touch the floor within a few
+    # substeps (contact rows active, not just limits)
+    qs = qs.at[1].add(-0.3) if scene == "hopper" else qs.at[1].add(-0.4)
+    qd_dyn, qs_dyn = None, None
+    for static in (False, True):
+        q, qd = jax.jit(lambda a, b, c: BT.env_step_b(
+            sys, a, b, c, 5, static_rows=static),
+            static_argnums=())(qs, qds, ctrl)
+        if qd_dyn is None:
+            qs_dyn, qd_dyn = q, qd
+        else:
+            np.testing.assert_allclose(np.asarray(qs_dyn), np.asarray(q),
+                                       atol=1e-6, rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(qd_dyn), np.asarray(qd),
+                                       atol=1e-5, rtol=1e-5)

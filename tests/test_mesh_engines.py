@@ -125,3 +125,18 @@ def test_meshed_reverse_step_moves_no_rollout_tensors(hopper, mesh, engine):
         f"Y0s has {y0s_elems} elements")
     # sanity: the program is actually partitioned (has some collective)
     assert sizes, "expected at least one small cross-chip reduction"
+
+
+@pytest.mark.slow
+def test_plan_batch_meshed_matches_unsharded(hopper, mesh):
+    """Seed-batching and mesh sharding compose (round-3 verdict item 6):
+    a meshed plan_batch must reproduce the unsharded plan_batch per-seed —
+    identical RNG chains, the flat S*Nsample axis sharded over the mesh."""
+    cfg = mbd.MBDConfig(**CFG)
+    rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(2)])
+    r_ref = mbd.plan_batch(hopper, cfg, rngs, engine="fused")
+    r_mesh = mbd.plan_batch(hopper, cfg, rngs, engine="fused", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r_ref.rews_trace),
+                               np.asarray(r_mesh.rews_trace), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(r_ref.final_reward),
+                               np.asarray(r_mesh.final_reward), atol=5e-3)
