@@ -120,32 +120,49 @@ def _stale_tag(rec):
     return f" _({'; '.join(notes)})_" if notes else ""
 
 
+def _baseline_cell(row):
+    if row is None or row.get("failed"):
+        return "—"
+    nd = row.get("n_diverged", 0)
+    if row.get("rew_mean") is None:
+        return "— (all seeds diverged)"
+    cell = _pm(row["rew_mean"], row["rew_std"])
+    if nd:
+        cell += f" ({nd} div. excl.)"
+    return cell
+
+
 def baselines_table(bl, results):
     if not bl:
         return "_baselines not measured_"
-    lines = ["| optimizer | hopper reward (mean ± std) |", "|---|---|"]
-    mbd_row = results.get("hopper")
-    if mbd_row:
-        cell, _ = _row_reward(mbd_row)
-        lines.append(f"| **MBD (ours)** | **{cell}** |")
-    env_rows = bl.get("baselines", bl)
+    # legacy single-env format → env-keyed
+    if "baselines" in bl and "env" in bl:
+        bl = {bl["env"]: {k: v for k, v in bl.items() if k != "env"}}
+    lines = ["| env | **MBD (ours)** | MPPI | CEM | CMA-ES |",
+             "|---|---|---|---|---|"]
     backends = set()
-    for name in ["mppi", "cem", "cma-es"]:
-        row = env_rows.get(name)
-        if row is None or row.get("failed"):
-            continue
-        if row.get("backend"):
-            backends.add(row["backend"])
-        nd = row.get("n_diverged", 0)
-        if row.get("rew_mean") is None:
-            cell = "— (all seeds diverged)"
-        else:
-            cell = _pm(row["rew_mean"], row["rew_std"])
-            if nd:
-                cell += f", {nd} diverged seed{'s' if nd > 1 else ''} excluded"
-        lines.append(f"| {name.upper()} |"
-                     f" {cell} ({row['n_seeds']} seeds) |")
-    tag = _stale_tag(bl)
+    stale = False
+    for env_name, rec in bl.items():
+        mbd_row = results.get(env_name)
+        mbd_cell = "—"
+        if mbd_row:
+            c, _ = _row_reward(mbd_row)
+            mbd_cell = f"**{c}**"
+        cells = []
+        for name in ["mppi", "cem", "cma-es"]:
+            row = rec.get("baselines", {}).get(name)
+            cells.append(_baseline_cell(row))
+            if row and row.get("backend"):
+                backends.add(row["backend"])
+        stale = stale or bool(rec.get("stale_pre_pgs_fix"))
+        n = next((rec["baselines"][m].get("n_seeds")
+                  for m in ["mppi", "cem", "cma-es"]
+                  if rec.get("baselines", {}).get(m, {}).get("n_seeds")),
+                 "?")
+        lines.append(f"| {env_name} ({n} seeds) | {mbd_cell} | "
+                     + " | ".join(cells) + " |")
+    tag = (" _(measured pre contact-solver fix; re-measure pending)_"
+           if stale else "")
     if not tag and backends - {"tpu"}:
         tag = f" _(measured on {'/'.join(sorted(backends)).upper()})_"
     return "\n".join(lines) + tag
@@ -211,8 +228,8 @@ def render():
         "",
         demo_table(results),
         "",
-        "MBD vs zeroth-order baselines on hopper, same rollout engine and "
-        "sample budget (`docs/RESULTS_BASELINES.json`):",
+        "MBD vs zeroth-order baselines, same rollout engine and "
+        "sample budget per env (`docs/RESULTS_BASELINES.json`):",
         "",
         baselines_table(_load("RESULTS_BASELINES.json"), results),
         "",

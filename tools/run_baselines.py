@@ -1,12 +1,18 @@
 """Zeroth-order baseline comparison table (docs/RESULTS_BASELINES.json).
 
-The reference's headline comparison (paper table; harness
-mbd/scripts/run_mbd.py with --algo path_integral): MPPI / CEM / CMA-ES on the
-same rollout engine and sample budget as MBD. Run per-seed in subprocesses
-via the fault-tolerant launcher, like tools/run_results.py.
+The reference's headline empirical claim (paper table; harness
+mbd/scripts/run_mbd.py with --algo path_integral): MBD beats MPPI / CEM /
+CMA-ES at the same rollout engine and sample budget, per env. Each
+(env, method) runs its seeds as ONE batched device program
+(path_integral.plan_batch — seeds fold into the engines' sample axis),
+isolated in a subprocess via the fault-tolerant launcher like
+tools/run_results.py.
 
-  python tools/run_baselines.py --env hopper --n_seeds 3
-  python tools/run_baselines.py --worker hopper:mppi:0    # one task (JSON)
+  python tools/run_baselines.py --envs hopper walker2d ant --n_seeds 8
+  python tools/run_baselines.py --worker hopper:mppi       # one task (JSON)
+
+Output JSON is keyed by env:
+  {env: {config..., mbd_reference_point, baselines: {method: row}}}
 """
 
 import argparse
@@ -20,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 METHODS = ["mppi", "cem", "cma-es"]
 
 
-def worker(task: str, platform: str = ""):
+def worker(task: str, n_seeds: int, platform: str = ""):
     from mbd_tpu.utils.platform import force_platform
 
     force_platform(platform)
@@ -32,20 +38,22 @@ def worker(task: str, platform: str = ""):
                                      ".jax_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    import jax.numpy as jnp
+
     from mbd_tpu import envs as envs_mod
     from mbd_tpu.planners import path_integral
 
-    env_name, method, seed = task.split(":")
-    seed = int(seed)
+    env_name, method = task.split(":")
     env = envs_mod.get_env(env_name)
     cfg = path_integral.recommended_config(
         env_name, path_integral.PathIntegralConfig(update_method=method))
+    rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(n_seeds)])
     t0 = time.time()
-    res = path_integral.plan(env, cfg, jax.random.PRNGKey(seed))
+    res = path_integral.plan_batch(env, cfg, rngs)
     print(json.dumps({
-        "env": env_name, "method": method, "seed": seed,
-        "final_reward": float(res.final_reward),
-        "final_diverged": bool(res.final_diverged),
+        "env": env_name, "method": method, "n_seeds": n_seeds,
+        "rewards": [float(r) for r in res.final_reward],
+        "diverged": [bool(d) for d in res.final_diverged],
         "backend": jax.default_backend(),
         "wall_s": round(time.time() - t0, 1),
         "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
@@ -53,10 +61,33 @@ def worker(task: str, platform: str = ""):
     }), flush=True)
 
 
+def _aggregate(rec):
+    import numpy as np
+
+    rews_all = np.asarray(rec["rewards"], np.float64)
+    div = np.asarray(rec["diverged"], bool)
+    # divergence-honest aggregate: a flagged seed's reward is never
+    # averaged in silently (same policy as tools/run_results.py)
+    rews = rews_all[~div]
+    n_div = int(div.sum())
+    return {
+        "rew_mean": float(np.mean(rews)) if rews.size else None,
+        "rew_std": float(np.std(rews)) if rews.size else None,
+        "n_seeds": len(rews_all),
+        "n_diverged": n_div,
+        "per_seed": {
+            "rewards": [round(float(r), 4) for r in rews_all],
+            "diverged": [bool(d) for d in div],
+        },
+        "backend": rec.get("backend"),
+        "wall_total_s": rec.get("wall_s"),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--env", default="hopper")
-    p.add_argument("--n_seeds", type=int, default=3)
+    p.add_argument("--envs", nargs="+", default=["hopper"])
+    p.add_argument("--n_seeds", type=int, default=8)
     p.add_argument("--timeout", type=int, default=2400)
     p.add_argument("--out", default="docs/RESULTS_BASELINES.json")
     p.add_argument("--worker", default=None)
@@ -66,63 +97,60 @@ def main():
     args = p.parse_args()
 
     if args.worker:
-        worker(args.worker, args.platform)
+        worker(args.worker, args.n_seeds, args.platform)
         return
-
-    import numpy as np
 
     from mbd_tpu.utils import launcher
 
-    tasks = [f"{args.env}:{m}:{s}" for m in METHODS
-             for s in range(args.n_seeds)]
+    tasks = [f"{e}:{m}" for e in args.envs for m in METHODS]
     records = launcher.run_tasks(
         [sys.executable, os.path.abspath(__file__), "--worker", "{task}",
-         "--platform", args.platform],
+         "--n_seeds", str(args.n_seeds), "--platform", args.platform],
         tasks, timeout_sec=args.timeout, retries=1, jobs=1)
 
-    baselines = {}
-    cfg = None
-    for m in METHODS:
-        recs = [r["result"] for r in records
-                if not r.get("failed") and r["result"]["method"] == m]
-        if not recs:
-            baselines[m] = {"failed": True}
-            continue
-        cfg = recs[0]["config"]
-        # divergence-honest aggregate: a flagged seed's reward is never
-        # averaged in silently (same policy as tools/run_results.py)
-        rews = [r["final_reward"] for r in recs
-                if not r.get("final_diverged", False)]
-        n_div = sum(bool(r.get("final_diverged", False)) for r in recs)
-        walls = [r["wall_s"] for r in recs]
-        baselines[m] = {
-            "rew_mean": float(np.mean(rews)) if rews else None,
-            "rew_std": float(np.std(rews)) if rews else None,
-            "n_seeds": len(recs),
-            "n_diverged": n_div,
-            "per_seed": {
-                "rewards": [round(r["final_reward"], 4) for r in recs],
-                "diverged": [bool(r.get("final_diverged", False))
-                             for r in recs],
-            },
-            "backend": recs[0].get("backend"),
-            "wall_total_s": round(float(np.sum(walls)), 1),
-        }
-        if rews:
-            print(f"{m}: {np.mean(rews):.3f} ± {np.std(rews):.3f}"
-                  f"{f' ({n_div} DIVERGED)' if n_div else ''}", flush=True)
-
-    mbd_point = None
+    mbd_table = {}
     res_path = os.path.join("docs", "RESULTS.json")
     if os.path.exists(res_path):
         with open(res_path) as f:
-            mbd_point = json.load(f).get(args.env, {}).get("rew_mean")
+            mbd_table = json.load(f)
 
-    out = {"env": args.env, **(cfg or {}), "baselines": baselines,
-           "mbd_reference_point": (round(mbd_point, 3)
-                                   if mbd_point is not None else None)}
+    results = {}
+    for env_name in args.envs:
+        baselines = {}
+        cfg = None
+        for r in records:
+            if r["task"].split(":")[0] != env_name:
+                continue
+            method = r["task"].split(":")[1]
+            if r.get("failed"):
+                baselines[method] = {"failed": True}
+                continue
+            rec = r["result"]
+            cfg = rec["config"]
+            row = _aggregate(rec)
+            baselines[method] = row
+            if row["rew_mean"] is not None:
+                flag = (f" ({row['n_diverged']} DIVERGED)"
+                        if row["n_diverged"] else "")
+                print(f"{env_name}:{method}: {row['rew_mean']:.3f} "
+                      f"± {row['rew_std']:.3f}{flag} "
+                      f"[{row['wall_total_s']}s]", flush=True)
+        mbd_point = mbd_table.get(env_name, {}).get("rew_mean")
+        results[env_name] = {
+            **(cfg or {}), "baselines": baselines,
+            "mbd_reference_point": (round(mbd_point, 3)
+                                    if mbd_point is not None else None)}
+
+    # merge into any existing table so partial sweeps don't clobber rows
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = json.load(f)
+        if "baselines" in old and "env" in old:
+            old = {old["env"]: {k: v for k, v in old.items() if k != "env"}}
+        old.update(results)
+        results = old
     with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump(results, f, indent=2)
     print(f"wrote {args.out}")
 
 
