@@ -21,7 +21,13 @@ import numpy as np
 
 from . import ppo, sac
 
-# reference hyperparameters, train_brax.py:31-176
+# reference hyperparameters, train_brax.py:31-176.
+#
+# Deliberately excluded: the reference's "pusher" PPO config
+# (train_brax.py:104-121) is dead code there — its own get_env()
+# (mbd/envs/__init__.py:13-33) has no "pusher" branch and raises
+# ValueError, so the config can never run. We reproduce only the
+# reachable table.
 PPO_CONFIGS = {
     "ant": dict(num_timesteps=100_000_000, num_evals=10, reward_scaling=10,
                 episode_length=1000, normalize_observations=True,
