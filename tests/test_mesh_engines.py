@@ -140,3 +140,36 @@ def test_plan_batch_meshed_matches_unsharded(hopper, mesh):
                                np.asarray(r_mesh.rews_trace), atol=5e-3)
     np.testing.assert_allclose(np.asarray(r_ref.final_reward),
                                np.asarray(r_mesh.final_reward), atol=5e-3)
+
+
+def test_humanoid_meshed_reverse_lowers_with_sample_sharding(mesh):
+    """Flagship-morphology sharding validation (round-3 verdict item 6).
+
+    Backend-compiling a humanoidrun program on XLA-CPU is infeasible on a
+    single-core host (one batched substep alone exceeds 25 min, -O0
+    included — measured 2026-08-19), so the executed mesh tests above use
+    hopper. This test pins the part that IS checkable at flagship
+    morphology: the meshed humanoidrun reverse step must trace and lower
+    to StableHLO with the shard_map manual computation and the
+    sample-axis partition spec intact (~10 s). Backend codegen for
+    humanoid programs is exercised on the real TPU by bench.py.
+    """
+    from mbd_tpu.core.schedule import make_schedule
+
+    env = envs.get_env("humanoidrun")
+    cfg = mbd.MBDConfig(Nsample=64, Hsample=5, Ndiffuse=10)
+    state_init = env.reset(jax.random.PRNGKey(0))
+    sched = make_schedule(cfg.Ndiffuse, cfg.beta0, cfg.betaT)
+    reverse_once = mbd.make_reverse_once(env, cfg, state_init, sched,
+                                         mesh=mesh, engine="fused")
+
+    def step(rng, Ybar):
+        (_, Ybar_next), (_, rew) = reverse_once(
+            (rng, Ybar), jnp.asarray(cfg.Ndiffuse - 1))
+        return Ybar_next, rew
+
+    txt = jax.jit(step).lower(
+        jax.random.PRNGKey(1),
+        jnp.zeros((cfg.Hsample, env.action_size))).as_text()
+    assert "sdy.manual_computation" in txt
+    assert '{"sample"}' in txt
