@@ -52,7 +52,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default="",
                    help="pin the jax backend (e.g. 'cpu' when the TPU "
                         "tunnel is down); empty = environment default")
+    p.add_argument("--engine", default="",
+                   choices=["", "pallas", "fused", "vmap"],
+                   help="rollout engine for physics envs (empty = "
+                        "default_engine: Pallas on TPU, fused elsewhere). "
+                        "'fused' skips the Pallas kernel's long one-off "
+                        "Mosaic compile — same math, parity-tested. "
+                        "Analytic envs (car2d) ignore this and keep vmap")
     return p
+
+
+def _engine_for(env, args):
+    """--engine applies to physics envs only; analytic envs (no sys) have
+    exactly one engine."""
+    from ..envs.physics import PhysicsEnv
+
+    if args.engine and isinstance(env, PhysicsEnv):
+        return args.engine
+    return None
 
 
 def _make_cfg(args):
@@ -94,10 +111,11 @@ def run_single(args, render: bool = True) -> float:
             print(f"  denoise step {step}/{cfg.Ndiffuse}: rew {rew:.3e}",
                   flush=True)
         res = mbd.plan(env, cfg, rng, chunk_size=args.chunk_size,
-                       progress_fn=progress)
+                       progress_fn=progress, engine=_engine_for(env, args))
         Ybars = res.Ybars
     else:
-        res = path_integral.plan(env, cfg, rng)
+        res = path_integral.plan(env, cfg, rng,
+                                 engine=_engine_for(env, args))
         Ybars = res.mu_0ts
     if res.final_diverged is not None and bool(
             np.asarray(res.final_diverged).any()):
@@ -157,9 +175,11 @@ def run_multiple_seed(args) -> None:
         t0 = time.time()
         if args.algo == "mbd":
             res = mbd.plan_batch(env, cfg, rngs,
-                                 chunk_size=args.chunk_size)
+                                 chunk_size=args.chunk_size,
+                                 engine=_engine_for(env, args))
         else:
-            res = path_integral.plan_batch(env, cfg, rngs)
+            res = path_integral.plan_batch(env, cfg, rngs,
+                                           engine=_engine_for(env, args))
         rews = np.asarray(res.final_reward)
         divs = (np.asarray(res.final_diverged)
                 if res.final_diverged is not None
@@ -209,7 +229,8 @@ def run_multiple_temp(args) -> None:
     for t in temps:
         args.temp_sample = t
         cfg = _make_cfg(args)
-        res = mbd.plan_batch(env, cfg, rngs, chunk_size=args.chunk_size)
+        res = mbd.plan_batch(env, cfg, rngs, chunk_size=args.chunk_size,
+                             engine=_engine_for(env, args))
         rews = np.asarray(res.final_reward)
         divs = (np.asarray(res.final_diverged)
                 if res.final_diverged is not None
@@ -242,6 +263,7 @@ def run_multiple_temp(args) -> None:
         "best_reward": results[best]["rew_mean"],
         "n_seeds": args.n_seeds,
         "backend": jax.default_backend(),
+        "engine": _engine_for(env, args) or "default",
         "config": dict(Nsample=args.Nsample, Hsample=args.Hsample,
                        Ndiffuse=args.Ndiffuse),
     }

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 METHODS = ["mppi", "cem", "cma-es"]
 
 
-def worker(task: str, n_seeds: int, platform: str = ""):
+def worker(task: str, n_seeds: int, platform: str = "", engine: str = ""):
     from mbd_tpu.utils.platform import force_platform
 
     force_platform(platform)
@@ -48,13 +48,17 @@ def worker(task: str, n_seeds: int, platform: str = ""):
     cfg = path_integral.recommended_config(
         env_name, path_integral.PathIntegralConfig(update_method=method))
     rngs = jnp.stack([jax.random.PRNGKey(s) for s in range(n_seeds)])
+    # --engine applies to physics envs only (analytic envs have one engine)
+    from mbd_tpu.envs.physics import PhysicsEnv
+    eng = engine if (engine and isinstance(env, PhysicsEnv)) else None
     t0 = time.time()
-    res = path_integral.plan_batch(env, cfg, rngs)
+    res = path_integral.plan_batch(env, cfg, rngs, engine=eng)
     print(json.dumps({
         "env": env_name, "method": method, "n_seeds": n_seeds,
         "rewards": [float(r) for r in res.final_reward],
         "diverged": [bool(d) for d in res.final_diverged],
         "backend": jax.default_backend(),
+        "engine": eng or "default",
         "wall_s": round(time.time() - t0, 1),
         "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
                        Nrefine=cfg.Nrefine, temp=cfg.temp_sample),
@@ -80,6 +84,7 @@ def _aggregate(rec):
             "diverged": [bool(d) for d in div],
         },
         "backend": rec.get("backend"),
+        "engine": rec.get("engine"),
         "wall_total_s": rec.get("wall_s"),
     }
 
@@ -94,10 +99,16 @@ def main():
     p.add_argument("--platform", default="",
                    help="pin the jax backend (e.g. 'cpu' when the TPU "
                         "tunnel is down); empty = environment default")
+    p.add_argument("--engine", default="",
+                   choices=["", "pallas", "fused", "vmap"],
+                   help="rollout engine for physics envs (empty = "
+                        "default_engine). 'fused' skips the Pallas "
+                        "kernel's long one-off Mosaic compile per "
+                        "(env, method) program — same math, parity-tested")
     args = p.parse_args()
 
     if args.worker:
-        worker(args.worker, args.n_seeds, args.platform)
+        worker(args.worker, args.n_seeds, args.platform, args.engine)
         return
 
     from mbd_tpu.utils import launcher
@@ -105,7 +116,8 @@ def main():
     tasks = [f"{e}:{m}" for e in args.envs for m in METHODS]
     records = launcher.run_tasks(
         [sys.executable, os.path.abspath(__file__), "--worker", "{task}",
-         "--n_seeds", str(args.n_seeds), "--platform", args.platform],
+         "--n_seeds", str(args.n_seeds), "--platform", args.platform,
+         "--engine", args.engine],
         tasks, timeout_sec=args.timeout, retries=1, jobs=1)
 
     mbd_table = {}

@@ -66,8 +66,11 @@ def worker(task: str, engine: str, n_seeds: int, chunk_size: int,
         print(f"# {env_name}: denoise {step}/{cfg.Ndiffuse} rew={rew:.3e}",
               file=sys.stderr, flush=True)
 
+    # --engine applies to physics envs only (analytic envs have one engine)
+    from mbd_tpu.envs.physics import PhysicsEnv
+    eng = engine if (engine and isinstance(env, PhysicsEnv)) else None
     res = mbd.plan_batch(env, cfg, rngs, chunk_size=chunk_size,
-                         progress_fn=progress, engine=engine or None)
+                         progress_fn=progress, engine=eng)
     wall = time.time() - t0
 
     rewards = np.asarray(res.final_reward, np.float64)
@@ -80,6 +83,7 @@ def worker(task: str, engine: str, n_seeds: int, chunk_size: int,
         "diverged": [bool(d) for d in diverged],
         "wall_s": round(wall, 1),
         "backend": jax.default_backend(),
+        "engine": eng or "default",
         "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
                        Ndiffuse=cfg.Ndiffuse, temp=cfg.temp_sample,
                        enable_demo=demo),
@@ -140,6 +144,7 @@ def _aggregate(rec):
         },
         "wall_s_total": rec.get("wall_s"),
         "backend": rec.get("backend"),
+        "engine": rec.get("engine"),
         "config": rec["config"],
     }
     if div.any():
