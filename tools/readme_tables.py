@@ -45,9 +45,18 @@ def _backend_tag(rec):
     """Rows are measured on the TPU chip unless the evidence says
     otherwise (CPU re-measures while the TPU tunnel was down record
     backend='cpu'); reward semantics are backend-independent, wall times
-    are not, so the provenance is surfaced."""
+    are not, so the provenance is surfaced. Engine provenance is surfaced
+    the same way: rows pinned to a non-default engine (e.g. the XLA-fused
+    path to skip the Pallas kernel's one-off Mosaic compile in sweeps)
+    say so — the engines are parity-tested, wall times differ."""
     b = rec.get("backend")
-    return f"measured on {b.upper()}" if b and b != "tpu" else ""
+    parts = []
+    if b and b != "tpu":
+        parts.append(f"measured on {b.upper()}")
+    e = rec.get("engine")
+    if e and e not in ("default", "pallas", "vmap"):
+        parts.append(f"{e} engine")
+    return "; ".join(parts)
 
 
 def _row_reward(row):
