@@ -154,7 +154,11 @@ def main(argv=None):
             cfg = dataclasses.replace(cfg, num_timesteps=1, num_evals=1)
         progress = None
 
+    import time
+
+    t0 = time.time()
     make_inference_fn, params, history = trainer(env, cfg, progress)
+    train_wall_s = round(time.time() - t0, 1)
 
     path = os.path.join(args.results_dir, args.env_name)
     os.makedirs(path, exist_ok=True)
@@ -198,6 +202,7 @@ def main(argv=None):
             "eval_std": float(np.std(rews)),
             "eval_protocol": f"8 seeds x {n_steps} steps, mean step reward",
             "backend": jax.default_backend(),
+            "train_wall_s": train_wall_s,
         }
         table = {}
         if os.path.exists(args.out):
