@@ -231,7 +231,9 @@ def main():
                      "BENCH_r02.json (34.4M env-steps/s/chip).",
         }), flush=True)
         raise SystemExit(1)
-    done = _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", "2700")))
+    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "2700"))
+    done = _watchdog(watchdog_s)
+    t_start = time.perf_counter()
     north_cfg = dict(Nsample=1024, Hsample=50, Ndiffuse=300, temp_sample=0.1)
     flag_cfg = dict(Nsample=8192, Hsample=50, Ndiffuse=300, temp_sample=0.1)
 
@@ -249,11 +251,28 @@ def main():
     try:
         result = _bench("humanoidrun", north_cfg, engine=engine,
                         target_s=10.0, chunk=50)
-        result["flagship_Nsample8192"] = _bench(
-            "humanoidrun", flag_cfg, engine=engine, target_s=None, chunk=50)
-        result["flop_model"] = _flop_model(
-            "humanoidrun", north_cfg, chunk=50,
-            wall_s=result["wall_s"], n_steps=north_cfg["Ndiffuse"] - 1)
+        # The extra sections each pay their own Mosaic compile on a cold
+        # cache (hour-class for a humanoid program shape — see
+        # docs/ROUND4.md §2). The HEADLINE number above is the contract;
+        # the extras run only while at least half the watchdog budget
+        # remains, so a cold-cache run publishes the north-star metric
+        # instead of dying mid-flagship-compile.
+        def _budget_left():
+            return watchdog_s - (time.perf_counter() - t_start)
+
+        if _budget_left() > 0.5 * watchdog_s:
+            result["flagship_Nsample8192"] = _bench(
+                "humanoidrun", flag_cfg, engine=engine, target_s=None,
+                chunk=50)
+        else:
+            result["flagship_Nsample8192"] = {
+                "skipped": f"only {_budget_left():.0f}s of watchdog budget "
+                           "left — cold-cache Mosaic compile of the "
+                           "Nsample=8192 program would exceed it"}
+        if _budget_left() > 0.2 * watchdog_s:
+            result["flop_model"] = _flop_model(
+                "humanoidrun", north_cfg, chunk=50,
+                wall_s=result["wall_s"], n_steps=north_cfg["Ndiffuse"] - 1)
     except Exception as e:
         print(json.dumps({
             "metric": "ERROR: humanoidrun denoise bench failed",
