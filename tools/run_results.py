@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def worker(task: str, engine: str, n_seeds: int, chunk_size: int,
-           results_dir: str, platform: str = ""):
+           results_dir: str, platform: str = "", seed_chunk: int = 0):
     from mbd_tpu.utils.platform import force_platform
 
     force_platform(platform)
@@ -69,13 +69,24 @@ def worker(task: str, engine: str, n_seeds: int, chunk_size: int,
     # --engine applies to physics envs only (analytic envs have one engine)
     from mbd_tpu.envs.physics import PhysicsEnv
     eng = engine if (engine and isinstance(env, PhysicsEnv)) else None
-    res = mbd.plan_batch(env, cfg, rngs, chunk_size=chunk_size,
-                         progress_fn=progress, engine=eng)
+    # --seed_chunk: split the seed batch into chunks of K seeds so the
+    # flattened K·Nsample sample axis fits HBM (humanoidrun's recommended
+    # Nsample=8192 × 8 seeds = 65536 flat samples does not). All chunks
+    # share ONE compiled program (plan_batch programs are seed-independent
+    # and keyed by (cfg, engine, S)), and per-seed results are unchanged —
+    # each seed's RNG chain is its own.
+    K = seed_chunk if seed_chunk > 0 else n_seeds
+    parts = [mbd.plan_batch(env, cfg, rngs[i:i + K], chunk_size=chunk_size,
+                            progress_fn=progress, engine=eng)
+             for i in range(0, n_seeds, K)]
     wall = time.time() - t0
 
-    rewards = np.asarray(res.final_reward, np.float64)
-    diverged = np.asarray(res.final_diverged).astype(bool)
-    plans = np.asarray(res.Ybars[:, -1], np.float32)       # [S, H, nu]
+    rewards = np.concatenate(
+        [np.asarray(p.final_reward, np.float64) for p in parts])
+    diverged = np.concatenate(
+        [np.asarray(p.final_diverged).astype(bool) for p in parts])
+    plans = np.concatenate(
+        [np.asarray(p.Ybars[:, -1], np.float32) for p in parts])  # [S,H,nu]
 
     out = {
         "env": env_name, "n_seeds": n_seeds,
@@ -181,11 +192,16 @@ def main():
                         "(recovers a killed sweep's completed tasks — each "
                         "worker persists its npz before the parent writes "
                         "the merged JSON)")
+    p.add_argument("--seed_chunk", type=int, default=0,
+                   help="run the seed batch in chunks of K seeds sharing "
+                        "one compiled program (0 = all seeds in one batch)."
+                        " For envs whose flattened seeds×Nsample axis "
+                        "exceeds HBM (humanoidrun: 8×8192)")
     args = p.parse_args()
 
     if args.worker:
         worker(args.worker, args.engine, args.n_seeds, args.chunk_size,
-               args.results_dir, args.platform)
+               args.results_dir, args.platform, args.seed_chunk)
         return
 
     if args.from_npz:
@@ -223,7 +239,8 @@ def main():
          "--engine", args.engine, "--n_seeds", str(args.n_seeds),
          "--chunk_size", str(args.chunk_size),
          "--results_dir", args.results_dir,
-         "--platform", args.platform],
+         "--platform", args.platform,
+         "--seed_chunk", str(args.seed_chunk)],
         args.envs, timeout_sec=args.timeout, retries=1, jobs=1)
 
     results = {}
