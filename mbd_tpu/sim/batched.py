@@ -647,108 +647,136 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
     k = float(np.asarray(sys.contact_stiffness))
     bdamp = float(np.asarray(sys.contact_damping))
     eps = float(np.asarray(sys.friction_vel_tol))
-
-    # per-contact static data (Jacobian rows, effective mass, caps) — the
-    # ldl_solve per contact happens ONCE, outside the sweep loop
-    pre = []
-    for con in cons:
-        dofs_b = tc.ancdof_body[con.body_b]
-        dofs_a = tc.ancdof_body[con.body_a]
-        sgn = {i: 1.0 for i in dofs_b}
-        for i in dofs_a:
-            sgn[i] = sgn.get(i, 0.0) - 1.0
-        dofs = [i for i, s in sgn.items() if s != 0.0]
-
-        p, n = con.pos, con.normal
-
-        def pvel(b):
-            vang, vlin = v_b[b][:3], v_b[b][3:]
-            return vlin + cross(vang, p)
-
-        v_rel = pvel(con.body_b) - pvel(con.body_a)
-        vn = dot3(v_rel, n)
-        vt = v_rel - vn * n
-
-        # normal Jacobian row (sparse over dofs)
-        pxn = cross(p, n)
-        Jn = {}
-        for i in dofs:
-            S = kin.S[i]
-            Jn[i] = sgn[i] * (S[0] * pxn[0] + S[1] * pxn[1] + S[2] * pxn[2]
-                              + S[3] * n[0] + S[4] * n[1] + S[5] * n[2])
-        jn_rows = [Jn.get(i) for i in range(sys.nv)]
-        MinvJ = ldl_solve(fac, jn_rows)
-        jmj = None
-        for i in dofs:
-            t = Jn[i] * MinvJ[i]
-            jmj = t if jmj is None else jmj + t
-        m_eff = 1.0 / (jmj + 1e-8)
-
-        active = con.depth > 0.0
-        a_ref = jnp.maximum(k * con.depth - bdamp * vn, 0.0)
-        fn_max = m_eff * a_ref * active
-        v_bias = jnp.minimum(
-            BAUMGARTE_BETA * jnp.maximum(con.depth, 0.0) / h, V_PUSH_MAX)
-        # spatial force row for unit normal force (friction tied in at μ,
-        # direction fixed from the pre-contact tangent velocity)
-        t_dir = vt / jnp.sqrt(dot3(vt, vt) + eps * eps)
-        d = n - con.mu * t_dir
-        pxd = cross(p, d)
-        rows = {}
-        for i in dofs:
-            S = kin.S[i]
-            rows[i] = sgn[i] * (S[0] * pxd[0] + S[1] * pxd[1]
-                                + S[2] * pxd[2] + S[3] * d[0]
-                                + S[4] * d[1] + S[5] * d[2])
-        pre.append((dofs, MinvJ, m_eff, vn, v_bias, fn_max, rows))
-
-    # joint limits as 1-dof unilateral constraints: Jacobian row s·e_d,
-    # exact effective mass from the SAME implicit-damped factorization,
-    # spring reference k_lim·violation, bounded Baumgarte pushout —
-    # identical solver semantics to contacts
     k_lim = float(np.asarray(sys.limit_stiffness))
-    minvE_cache: Dict[int, List] = {}
-    for dadr, s, vio in limits:
-        if dadr not in minvE_cache:
-            e_rows: List = [None] * sys.nv
-            e_rows[dadr] = jnp.ones_like(vio)
-            minvE_cache[dadr] = ldl_solve(fac, e_rows)
-        MinvE = minvE_cache[dadr]
-        MinvJ = [None if x is None else s * x for x in MinvE]
-        m_eff = 1.0 / (MinvE[dadr] + 1e-8)
-        active = vio > 0.0
-        vn = s * qd[dadr]
-        v_bias = jnp.minimum(BAUMGARTE_BETA * vio / h, V_PUSH_MAX)
-        fn_max = m_eff * k_lim * vio * active
-        pre.append(([dadr], MinvJ, m_eff, vn, v_bias, fn_max, {dadr: s}))
 
-    if not pre:
+    Cc, Cl = len(cons), len(limits)
+    C = Cc + Cl
+    if C == 0:
         return list(rhs)
 
-    # The sweeps are homogeneous in TWO dimensions: across passes AND
-    # across constraint rows. Stack every row's static data into [C, ...]
-    # arrays and run fori_loop(passes) · fori_loop(rows), so the compiled
-    # body is ONE row update regardless of how many constraints the scene
-    # has. (The per-row-unrolled sweep body grew superlinearly in XLA's
-    # passes: humanoidstandup — ~40 contact points + 17 limit rows —
-    # stalled server-side compiles past a 1 h timeout; walker2d ~10 rows
-    # compiled in minutes. Row order, math, and projection are unchanged —
-    # same Gauss–Seidel iteration, now data- instead of code-unrolled.)
     B = rhs[0].shape
     dtype = rhs[0].dtype
     zero = jnp.zeros(B, dtype)
+    nv = sys.nv
 
-    def stack_rows(getter):
-        return jnp.stack([jnp.stack([getter(e, i) for i in range(sys.nv)])
-                          for e in pre])                    # [C, nv, *B]
+    # The pre-compute (Jacobian rows, M⁻¹J, effective masses, caps) is
+    # homogeneous ACROSS constraint rows, so it is built stacked on a
+    # leading [C] axis and the C tree solves collapse into ONE ldl_solve
+    # over [C, *B] entries. The earlier per-row form called ldl_solve C
+    # times with code-unrolled tree sweeps — for humanoid scenes (~40
+    # contact points + 34 limit rows) that alone emitted tens of
+    # thousands of HLO ops and pushed fused-XLA compiles past 2 h and
+    # Mosaic kernel compiles past 1 h; the stacked form is the same math
+    # on the same factorization, C× fewer ops. All broadcasts below keep
+    # the trailing batch dims exact (leading-dim rank promotion only),
+    # which Mosaic lowers fine inside the Pallas rollout kernel.
 
-    MinvJ_st = stack_rows(
-        lambda e, i: zero if e[1][i] is None else e[1][i] + zero)
-    rows_st = stack_rows(lambda e, i: e[6].get(i, zero) + zero)
-    m_eff_st = jnp.stack([e[2] + zero for e in pre])        # [C, *B]
-    vn_st = jnp.stack([e[3] + zero for e in pre])
-    vbias_st = jnp.stack([e[4] + zero for e in pre])
-    fnmax_st = jnp.stack([e[5] + zero for e in pre])
+    # static per-constraint dof signs (numpy): contacts ±1 over the
+    # ancestor dofs of the two bodies, limits s·e_dadr
+    sgn_np = np.zeros((C, nv))
+    for ci, con in enumerate(cons):
+        for i in tc.ancdof_body[con.body_b]:
+            sgn_np[ci, i] += 1.0
+        for i in tc.ancdof_body[con.body_a]:
+            sgn_np[ci, i] -= 1.0
+    for li, (dadr, s, _) in enumerate(limits):
+        sgn_np[Cc + li, dadr] = s
+
+    def sgn_stack(lo, hi):
+        # [C', nv, *B] sign masks from python scalars (constv): Pallas
+        # kernels cannot capture device constants, and the fulls are
+        # {-1, 0, +1} broadcasts that never leave VMEM
+        return jnp.stack([constv(sgn_np[c], B, dtype)
+                          for c in range(lo, hi)])
+
+    def cross_c(a, b):  # [C', 3, *B] cross along axis 1
+        return jnp.stack([a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+                          a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+                          a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]], axis=1)
+
+    def dot3_c(a, b):
+        return a[:, 0] * b[:, 0] + a[:, 1] * b[:, 1] + a[:, 2] * b[:, 2]
+
+    S_st = jnp.stack(kin.S)                                # [nv, 6, *B]
+
+    def jrows(w_st, sgn_b):
+        """Signed Jacobian row stack: sgn[c,i] · Σ_k S[i,k]·w[c,k],
+        [C', nv, *B]. Accumulation order matches the old per-row form
+        (k = 0..5, angular then linear)."""
+        C_ = w_st.shape[0]
+        acc = None
+        for kk in range(6):
+            Sk = jnp.broadcast_to(S_st[:, kk][None], (C_, nv) + B)
+            wk = jnp.broadcast_to(w_st[:, kk][:, None], (C_, nv) + B)
+            acc = Sk * wk if acc is None else acc + Sk * wk
+        return sgn_b * acc
+
+    J_parts, row_parts = [], []
+    vn_parts, vbias_parts, cap_parts = [], [], []
+
+    if Cc:
+        pos_st = jnp.stack([c.pos for c in cons])          # [Cc, 3, *B]
+        nrm_st = jnp.stack([c.normal for c in cons])
+        dep_st = jnp.stack([c.depth for c in cons])        # [Cc, *B]
+        mu_st = constv([c.mu for c in cons], B, dtype)
+        vb_b = jnp.stack([v_b[c.body_b] for c in cons])    # [Cc, 6, *B]
+        vb_a = jnp.stack([v_b[c.body_a] for c in cons])
+
+        def pvel(vb):
+            return vb[:, 3:] + cross_c(vb[:, :3], pos_st)
+
+        v_rel = pvel(vb_b) - pvel(vb_a)
+        vn_c = dot3_c(v_rel, nrm_st)
+        vt = v_rel - vn_c[:, None] * nrm_st
+        # spatial force row for unit normal force (friction tied in at μ,
+        # direction fixed from the pre-contact tangent velocity)
+        t_dir = vt / jnp.sqrt(dot3_c(vt, vt) + eps * eps)[:, None]
+        d = nrm_st - mu_st[:, None] * t_dir
+        sgn_c = sgn_stack(0, Cc)
+        J_parts.append(jrows(
+            jnp.concatenate([cross_c(pos_st, nrm_st), nrm_st], axis=1),
+            sgn_c))
+        row_parts.append(jrows(
+            jnp.concatenate([cross_c(pos_st, d), d], axis=1), sgn_c))
+        a_ref = jnp.maximum(k * dep_st - bdamp * vn_c, 0.0)
+        vn_parts.append(vn_c)
+        vbias_parts.append(jnp.minimum(
+            BAUMGARTE_BETA * jnp.maximum(dep_st, 0.0) / h, V_PUSH_MAX))
+        cap_parts.append(a_ref * (dep_st > 0.0))
+
+    if Cl:
+        # joint limits as 1-dof unilateral constraints: Jacobian row
+        # s·e_d, exact effective mass from the SAME implicit-damped
+        # factorization, spring reference k_lim·violation, bounded
+        # Baumgarte pushout — identical solver semantics to contacts
+        vio_st = jnp.stack([vio for (_, _, vio) in limits])  # [Cl, *B]
+        sgn_l = sgn_stack(Cc, C)
+        J_parts.append(sgn_l)
+        row_parts.append(sgn_l)
+        vn_parts.append(jnp.stack([s * qd[dadr]
+                                   for (dadr, s, _) in limits]))
+        vbias_parts.append(jnp.minimum(BAUMGARTE_BETA * vio_st / h,
+                                       V_PUSH_MAX))
+        cap_parts.append(k_lim * vio_st * (vio_st > 0.0))
+
+    cat = (lambda p: p[0] if len(p) == 1 else jnp.concatenate(p))
+    J_all = cat(J_parts)                                   # [C, nv, *B]
+    rows_st = cat(row_parts)
+    vn_st = cat(vn_parts)                                  # [C, *B]
+    vbias_st = cat(vbias_parts)
+    cap_st = cat(cap_parts)
+
+    # ONE tree solve for every constraint row at once: fac entries are
+    # [*B], rhs entries [C, *B] — rank-promoting broadcast on the leading
+    # constraint axis only. Dofs no constraint touches stay structural
+    # zeros (None) exactly as in the per-row solves.
+    touched = sgn_np.any(axis=0)
+    x = ldl_solve(fac, [J_all[:, i] if touched[i] else None
+                        for i in range(nv)])
+    zc = jnp.zeros((C,) + B, dtype)
+    MinvJ_st = jnp.stack([zc if xi is None else xi for xi in x], axis=1)
+    m_eff_st = 1.0 / ((J_all * MinvJ_st).sum(axis=1) + 1e-8)
+    fnmax_st = m_eff_st * cap_st
 
     # Two row-sweep forms over the same stacked data, selected by
     # ``static_rows`` — identical math, row order, and projection, so the
@@ -766,7 +794,6 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
     #   ~8 homogeneous vector ops on [nv, *B]/[*B] tensors (the stacking
     #   does the compression), and Mosaic compiles program sizes like
     #   this fine.
-    C = len(pre)
     init = (jnp.stack([r + zero for r in rhs]), jnp.zeros((C,) + B, dtype))
 
     if static_rows:
