@@ -90,6 +90,52 @@ def dot3(a: Arr, b: Arr) -> Arr:
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
 
+# Axis-1 variants of the component-first helpers: operands carry an extra
+# LEADING stacking axis ([C, 3, *B] / [C, 4, *B]). Used wherever per-body /
+# per-constraint quantities are built stacked — one set of wide elementwise
+# ops instead of per-item re-emission (the per-item form's slice/reshape
+# churn dominated substep compile time). Formulas and accumulation order
+# match the [k, *B] helpers exactly, so values are bit-identical per item.
+
+def cross_c(a: Arr, b: Arr) -> Arr:
+    return jnp.stack([a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+                      a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+                      a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]], axis=1)
+
+
+def dot3_c(a: Arr, b: Arr) -> Arr:
+    return a[:, 0] * b[:, 0] + a[:, 1] * b[:, 1] + a[:, 2] * b[:, 2]
+
+
+def qmul_c(a: Arr, b: Arr) -> Arr:
+    aw, ax, ay, az = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    bw, bx, by, bz = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=1)
+
+
+def qrot_c(q: Arr, v: Arr) -> Arr:
+    w = q[:, 0]
+    qv = q[:, 1:]
+    t = 2.0 * cross_c(qv, v)
+    return v + w[:, None] * t + cross_c(qv, t)
+
+
+def quat_to_cols_c(q: Arr) -> Tuple[Arr, Arr, Arr]:
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    c0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y + w * z),
+                    2 * (x * z - w * y)], axis=1)
+    c1 = jnp.stack([2 * (x * y - w * z), 1 - 2 * (x * x + z * z),
+                    2 * (y * z + w * x)], axis=1)
+    c2 = jnp.stack([2 * (x * z + w * y), 2 * (y * z - w * x),
+                    1 - 2 * (x * x + y * y)], axis=1)
+    return c0, c1, c2
+
+
 def quat_to_cols(q: Arr) -> Tuple[Arr, Arr, Arr]:
     """Columns of R(q) as three [3, B] vectors."""
     w, x, y, z = q
@@ -235,47 +281,65 @@ def topo(sys: System) -> TopoCache:
     return _TOPO_CACHE[key]
 
 
-def spatial_inertia_b(sys: System, kin: KinB, b: int) -> List[List[Arr]]:
-    """6×6 world spatial inertia of body b as a nested list of [B] rows.
+def spatial_inertia_all(sys: System, kin: KinB) -> List[List[List[Arr]]]:
+    """6×6 world spatial inertias of ALL bodies as nested lists of [B] rows.
 
-    I = [[ I_rot + m c×c×ᵀ,  m c× ], [ m c×ᵀ, m·1 ]] about world origin.
+    I = [[ I_rot + m c×c×ᵀ,  m c× ], [ m c×ᵀ, m·1 ]] about world origin,
+    per body. Built ONCE on body-stacked [nbody−1, ·, *B] arrays and sliced
+    back per (body, entry): the earlier per-body build re-emitted every
+    component slice/reshape nbody× and was the single largest HLO-emission
+    source in a humanoid substep (~19k of ~40k StableHLO lines), inflating
+    fused-XLA and Mosaic compile times. Values bit-match the per-body form
+    (identical formulas and accumulation order, elementwise over the stack).
+    Returns I_all with I_all[0] = None (world body).
     """
     dtype = kin.xpos[1].dtype
     B = kin.xpos[1].shape[1:]
-    m = float(np.asarray(sys.body_mass)[b])
-    ipos = np.asarray(sys.body_ipos)[b]
-    iquat = np.asarray(sys.body_iquat)[b]
-    diag = np.asarray(sys.body_inertia)[b]
+    nb1 = sys.nbody - 1
+    bodies = range(1, sys.nbody)
+    # [nb1]- and [nb1, k]-shaped static constants, rank-promoted over *B
+    lead = (slice(None),) + (None,) * len(B)
+    lead2 = (slice(None), slice(None)) + (None,) * len(B)
+    m = jnp.asarray(np.asarray(sys.body_mass)[1:], dtype)[lead]
+    ipos = jnp.asarray(np.asarray(sys.body_ipos)[1:], dtype)[lead2]
+    iquat = jnp.asarray(np.asarray(sys.body_iquat)[1:], dtype)[lead2]
+    diag_np = np.asarray(sys.body_inertia)[1:]
+    dcol = [jnp.asarray(diag_np[:, k], dtype)[lead] for k in range(3)]
 
-    const = lambda v: constv(v, B, dtype)  # noqa: E731
-    com = kin.xpos[b] + qrot(kin.xquat[b], const(ipos))
-    iq = qmul(kin.xquat[b], const(iquat))
-    c0, c1, c2 = quat_to_cols(iq)
+    xpos = jnp.stack([kin.xpos[b] for b in bodies])    # [nb1, 3, *B]
+    xquat = jnp.stack([kin.xquat[b] for b in bodies])  # [nb1, 4, *B]
+
+    com = xpos + qrot_c(xquat, ipos)
+    iq = qmul_c(xquat, iquat)
+    c0, c1, c2 = quat_to_cols_c(iq)
     # I_rot = R diag Rᵀ = Σ_k diag_k c_k c_kᵀ
     cols = (c0, c1, c2)
-    Irot = [[sum(float(diag[k]) * cols[k][a] * cols[k][bb]
+    Irot = [[sum(dcol[k] * cols[k][:, a] * cols[k][:, bb]
                  for k in range(3)) for bb in range(3)] for a in range(3)]
-    cx, cy, cz = com[0], com[1], com[2]
+    cx, cy, cz = com[:, 0], com[:, 1], com[:, 2]
     # m (c·c δ_ab − c_a c_b) added to I_rot gives I about origin
     c2sum = cx * cx + cy * cy + cz * cz
     comv = (cx, cy, cz)
-    I = [[None] * 6 for _ in range(6)]
+    I = [[None] * 6 for _ in range(6)]   # entries [nb1, *B]
     for a in range(3):
         for bb in range(3):
             extra = m * ((c2sum if a == bb else 0.0) - comv[a] * comv[bb])
             I[a][bb] = Irot[a][bb] + extra
     # top-right m c× ; bottom-left m c×ᵀ ; bottom-right m I₃
-    zeroB = jnp.zeros(B, dtype)
-    cxm = [[zeroB, -m * cz, m * cy],
-           [m * cz, zeroB, -m * cx],
-           [-m * cy, m * cx, zeroB]]
+    zero = jnp.zeros((nb1,) + B, dtype)
+    cxm = [[zero, -m * cz, m * cy],
+           [m * cz, zero, -m * cx],
+           [-m * cy, m * cx, zero]]
+    mfull = m + zero
     for a in range(3):
         for bb in range(3):
             I[a][3 + bb] = cxm[a][bb]
             I[3 + a][bb] = cxm[bb][a]
-            I[3 + a][3 + bb] = jnp.full((), m, dtype) + zeroB \
-                if a == bb else zeroB
-    return I
+            I[3 + a][3 + bb] = mfull if a == bb else zero
+    out: List = [None]
+    for bi in range(nb1):
+        out.append([[I[a][cc][bi] for cc in range(6)] for a in range(6)])
+    return out
 
 
 def smooth_b(sys: System, kin: KinB, qd: Arr):
@@ -287,9 +351,8 @@ def smooth_b(sys: System, kin: KinB, qd: Arr):
     dtype = qd.dtype
     B = qd.shape[1:]
 
-    # per-body spatial inertias (about origin)
-    I_b = [None] + [spatial_inertia_b(sys, kin, b)
-                    for b in range(1, sys.nbody)]
+    # per-body spatial inertias (about origin), built body-stacked
+    I_b = spatial_inertia_all(sys, kin)
 
     # dofs directly on each body (static)
     own_dofs = [[i for i in range(sys.nv) if tc.dof_body[i] == b]
@@ -688,14 +751,6 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
         # {-1, 0, +1} broadcasts that never leave VMEM
         return jnp.stack([constv(sgn_np[c], B, dtype)
                           for c in range(lo, hi)])
-
-    def cross_c(a, b):  # [C', 3, *B] cross along axis 1
-        return jnp.stack([a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
-                          a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
-                          a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]], axis=1)
-
-    def dot3_c(a, b):
-        return a[:, 0] * b[:, 0] + a[:, 1] * b[:, 1] + a[:, 2] * b[:, 2]
 
     S_st = jnp.stack(kin.S)                                # [nv, 6, *B]
 
