@@ -125,3 +125,53 @@ def test_static_rows_sweep_matches_dynamic(scene):
                                        atol=1e-6, rtol=1e-6)
             np.testing.assert_allclose(np.asarray(qd_dyn), np.asarray(qd),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_stacked_component_helpers_bitmatch_per_item():
+    """The axis-1 stacked helpers (cross_c/dot3_c/qmul_c/qrot_c/
+    quat_to_cols_c) power the body-stacked spatial-inertia build and the
+    stacked PGS pre-compute; they must be BIT-identical to mapping the
+    per-item [k, *B] helpers over the leading axis (same formulas, same
+    accumulation order — sim/batched.py docstring contract)."""
+    rng = np.random.default_rng(7)
+    C, B = 5, (3, 4)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    a3 = f32(rng.normal(size=(C, 3) + B))
+    b3 = f32(rng.normal(size=(C, 3) + B))
+    q4 = f32(rng.normal(size=(C, 4) + B))
+    p4 = f32(rng.normal(size=(C, 4) + B))
+
+    def per_item(fn, *ops):
+        return jnp.stack([fn(*(o[c] for o in ops)) for c in range(C)])
+
+    pairs = [
+        (BT.cross_c(a3, b3), per_item(BT.cross, a3, b3)),
+        (BT.dot3_c(a3, b3), per_item(BT.dot3, a3, b3)),
+        (BT.qmul_c(q4, p4), per_item(BT.qmul, q4, p4)),
+        (BT.qrot_c(q4, a3), per_item(BT.qrot, q4, a3)),
+    ]
+    cs = BT.quat_to_cols_c(q4)
+    ref = [per_item(lambda q: BT.quat_to_cols(q)[k], q4) for k in range(3)]
+    pairs += list(zip(cs, ref))
+    for got, want in pairs:
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_spatial_inertia_all_symmetric_and_consistent():
+    """I is symmetric per body; the [3:,3:] block is m·1₃ and the [3:,:3]
+    block is (m c×)ᵀ — structural invariants of the stacked build."""
+    sys = load_mjcf(asset_path("hopper.xml"))
+    qs, qds, _ = _rand_batch(sys, B=3, seed=11)
+    kin = BT.fk_b(sys, qs)
+    I_all = BT.spatial_inertia_all(sys, kin)
+    assert I_all[0] is None and len(I_all) == sys.nbody
+    masses = np.asarray(sys.body_mass)
+    for b in range(1, sys.nbody):
+        I = np.asarray([[np.asarray(I_all[b][r][c]) for c in range(6)]
+                        for r in range(6)])          # [6, 6, B]
+        np.testing.assert_allclose(I, np.swapaxes(I, 0, 1),
+                                   atol=1e-5, rtol=1e-5)
+        m = masses[b]
+        np.testing.assert_allclose(
+            I[3:, 3:], m * np.eye(3)[..., None] * np.ones_like(I[3:, 3:]),
+            atol=1e-6)
