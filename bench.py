@@ -273,6 +273,11 @@ def main():
             result["flop_model"] = _flop_model(
                 "humanoidrun", north_cfg, chunk=50,
                 wall_s=result["wall_s"], n_steps=north_cfg["Ndiffuse"] - 1)
+        else:
+            result["flop_model"] = {
+                "skipped": f"only {_budget_left():.0f}s of watchdog budget "
+                           "left — cost_analysis of the substep HLO "
+                           "deferred"}
     except Exception as e:
         print(json.dumps({
             "metric": "ERROR: humanoidrun denoise bench failed",

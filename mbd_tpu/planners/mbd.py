@@ -284,6 +284,12 @@ def make_reverse_once_batch(env, cfg: MBDConfig, states_init, sched,
         from ..rollout.fused import rollout_rewards
         if engine == "pallas":
             from ..ops.rollout_pallas import rollout_rewards_pallas
+        if mesh is not None and (S * N) % mesh.devices.size != 0:
+            raise ValueError(
+                f"S·Nsample = {S}·{N} = {S * N} must be divisible by the "
+                f"mesh device count {mesh.devices.size}; otherwise the "
+                "flat sample axis cannot be evenly sharded (shard_map "
+                "would fail with an opaque partitioning error)")
         n_loc = (S * N // mesh.devices.size if mesh is not None
                  else S * N)
         b_tile = min(1024, ((n_loc + 7) // 8) * 8)

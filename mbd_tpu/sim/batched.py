@@ -297,14 +297,25 @@ def spatial_inertia_all(sys: System, kin: KinB) -> List[List[List[Arr]]]:
     B = kin.xpos[1].shape[1:]
     nb1 = sys.nbody - 1
     bodies = range(1, sys.nbody)
-    # [nb1]- and [nb1, k]-shaped static constants, rank-promoted over *B
-    lead = (slice(None),) + (None,) * len(B)
-    lead2 = (slice(None), slice(None)) + (None,) * len(B)
-    m = jnp.asarray(np.asarray(sys.body_mass)[1:], dtype)[lead]
-    ipos = jnp.asarray(np.asarray(sys.body_ipos)[1:], dtype)[lead2]
-    iquat = jnp.asarray(np.asarray(sys.body_iquat)[1:], dtype)[lead2]
+    # Body-stacked static constants, built from python scalars via
+    # constv/jnp.full (full [*B] broadcast per entry). NEVER jnp.asarray a
+    # numpy array here: that materializes a device constant which the
+    # Pallas whole-rollout kernel cannot capture ("captures constants
+    # [f32[nb1], ...]" at trace time) — same constraint sgn_stack in
+    # contact_qfrc_b documents. The fulls are broadcasts that never leave
+    # VMEM, so this costs nothing on either engine.
+    m_np = np.asarray(sys.body_mass)[1:]
+    ipos_np = np.asarray(sys.body_ipos)[1:]
+    iquat_np = np.asarray(sys.body_iquat)[1:]
     diag_np = np.asarray(sys.body_inertia)[1:]
-    dcol = [jnp.asarray(diag_np[:, k], dtype)[lead] for k in range(3)]
+    m = jnp.stack([jnp.full(B, float(m_np[i]), dtype)
+                   for i in range(nb1)])                     # [nb1, *B]
+    ipos = jnp.stack([constv(ipos_np[i], B, dtype)
+                      for i in range(nb1)])                  # [nb1, 3, *B]
+    iquat = jnp.stack([constv(iquat_np[i], B, dtype)
+                       for i in range(nb1)])                 # [nb1, 4, *B]
+    dcol = [jnp.stack([jnp.full(B, float(diag_np[i, k]), dtype)
+                       for i in range(nb1)]) for k in range(3)]
 
     xpos = jnp.stack([kin.xpos[b] for b in bodies])    # [nb1, 3, *B]
     xquat = jnp.stack([kin.xquat[b] for b in bodies])  # [nb1, 4, *B]

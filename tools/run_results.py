@@ -76,6 +76,11 @@ def worker(task: str, engine: str, n_seeds: int, chunk_size: int,
     # and keyed by (cfg, engine, S)), and per-seed results are unchanged —
     # each seed's RNG chain is its own.
     K = seed_chunk if seed_chunk > 0 else n_seeds
+    if n_seeds % K != 0:
+        raise SystemExit(
+            f"--seed_chunk {K} does not divide n_seeds={n_seeds}: the "
+            "ragged final chunk would have a different S and trigger a "
+            "second full compile (hour-class for humanoid programs)")
     parts = [mbd.plan_batch(env, cfg, rngs[i:i + K], chunk_size=chunk_size,
                             progress_fn=progress, engine=eng)
              for i in range(0, n_seeds, K)]
