@@ -233,7 +233,9 @@ def render():
         "Demo-conditioned diffusion — the reference's flagship capability "
         "(mbd_planner.py:117-125) — with the no-demo ablation at identical "
         "configs; \"logpd lift\" is how much demo fusion improves tracking "
-        "log-density:",
+        "log-density (when and why fusion helps, incl. the reference's "
+        "double-standardization quirk: "
+        "[`docs/DEMO_CONDITIONING.md`](docs/DEMO_CONDITIONING.md)):",
         "",
         demo_table(results),
         "",
