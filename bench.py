@@ -10,6 +10,13 @@ the driver-set target.
 The single JSON line also carries:
   * flagship: the same denoise at the reference's recommended humanoidrun
     Nsample=8192 (mbd_planner.py:54-60) — the actual production workload;
+  * headline/flagship are measured on the default "stacked" precompute
+    (minutes-class cold compile — always publishable), then the
+    "unrolled" variant (sim/batched.py::precompute_variant — ~37% faster
+    at runtime, hour-class cold compile) is attempted; if it completes
+    and wins, it becomes the headline with the stacked numbers attached.
+    A stall in any section past the watchdog publishes the best result
+    measured so far rather than an error;
   * flop_model: XLA cost-analysis FLOPs of ONE batched physics substep
     (loop bodies are counted explicitly — cost-analyzing a scanned program
     reports its body once and undercounts ~H·n_frames×), scaled by the
@@ -78,7 +85,9 @@ def _bench(env_name: str, cfg_kwargs: dict, engine, target_s, chunk: int):
         jax.block_until_ready(carry)
         return rews
 
+    t_c = time.perf_counter()
     full_denoise()                      # compile
+    compile_s = time.perf_counter() - t_c
     t0 = time.perf_counter()
     full_denoise()                      # timed
     dt = time.perf_counter() - t0
@@ -94,6 +103,7 @@ def _bench(env_name: str, cfg_kwargs: dict, engine, target_s, chunk: int):
         "unit": "env-steps/sec",
         "vs_baseline": round(vs, 3),
         "wall_s": round(dt, 3),
+        "compile_s": round(compile_s, 1),
         "env_steps": n_env_steps,
     }
 
@@ -169,11 +179,20 @@ def _tunnel_reachable() -> bool:
     return False
 
 
+# Best-so-far holder: every completed section updates this, and the
+# watchdog PUBLISHES it instead of erroring when a later (riskier, e.g.
+# cold-compile) section stalls. A stalled extra section costs its numbers,
+# never the headline.
+_BEST = {"result": None, "section": "startup"}
+
+
 def _watchdog(seconds: float):
     """LOUD-failure guard: a hung backend (e.g. the TPU tunnel dying
     mid-session leaves the axon plugin retrying its connect forever) must
-    still produce the error JSON line + exit 1, never an eternal hang.
-    Returns an Event to set on success."""
+    still produce ONE JSON line, never an eternal hang. If a headline was
+    already measured, the watchdog prints that (exit 0) with a note about
+    which section stalled; only a stall before ANY result is an error
+    (exit 1). Returns an Event to set on success."""
     import os
     import threading
 
@@ -181,11 +200,17 @@ def _watchdog(seconds: float):
 
     def _fire():
         if not done.wait(seconds):
+            best = _BEST["result"]
+            if best is not None:
+                best["watchdog_expired_mid_section"] = _BEST["section"]
+                print(json.dumps(best), flush=True)
+                os._exit(0)
             print(json.dumps({
                 "metric": "ERROR: bench watchdog expired",
                 "value": 0, "unit": "env-steps/sec", "vs_baseline": 0.0,
                 "error": f"no result within {seconds:.0f}s "
-                         "(backend unreachable or compile stall)",
+                         f"(backend unreachable or compile stall in "
+                         f"section '{_BEST['section']}')",
             }), flush=True)
             os._exit(1)
 
@@ -245,39 +270,95 @@ def main():
     pallas_error = None
     engine = None
     if jax.default_backend() == "tpu":
+        _BEST["section"] = "pallas_preflight"
         pallas_error = _preflight_pallas("humanoidrun")
         if pallas_error is not None:
             engine = "fused"
     try:
+        _BEST["section"] = "headline_stacked_N1024"
         result = _bench("humanoidrun", north_cfg, engine=engine,
                         target_s=10.0, chunk=50)
+        if pallas_error is None:
+            result["pallas_lowering"] = "ok (kernel compiled+ran pre-flight)"
+        _BEST["result"] = result
         # The extra sections each pay their own Mosaic compile on a cold
-        # cache (hour-class for a humanoid program shape — see
+        # cache (minutes-class for the stacked precompute, HOUR-class for
+        # the unrolled one — see sim/batched.py::precompute_variant and
         # docs/ROUND4.md §2). The HEADLINE number above is the contract;
-        # the extras run only while at least half the watchdog budget
-        # remains, so a cold-cache run publishes the north-star metric
-        # instead of dying mid-flagship-compile.
+        # each extra runs only while enough watchdog budget remains, and
+        # a stall inside one publishes the best-so-far result instead of
+        # erroring (see _watchdog).
         def _budget_left():
             return watchdog_s - (time.perf_counter() - t_start)
 
         if _budget_left() > 0.5 * watchdog_s:
+            _BEST["section"] = "flagship_stacked_N8192"
             result["flagship_Nsample8192"] = _bench(
                 "humanoidrun", flag_cfg, engine=engine, target_s=None,
                 chunk=50)
+            _BEST["result"] = result
         else:
             result["flagship_Nsample8192"] = {
                 "skipped": f"only {_budget_left():.0f}s of watchdog budget "
                            "left — cold-cache Mosaic compile of the "
                            "Nsample=8192 program would exceed it"}
         if _budget_left() > 0.2 * watchdog_s:
+            _BEST["section"] = "flop_model"
             result["flop_model"] = _flop_model(
                 "humanoidrun", north_cfg, chunk=50,
                 wall_s=result["wall_s"], n_steps=north_cfg["Ndiffuse"] - 1)
+            _BEST["result"] = result
         else:
             result["flop_model"] = {
                 "skipped": f"only {_budget_left():.0f}s of watchdog budget "
                            "left — cost_analysis of the substep HLO "
                            "deferred"}
+
+        # The "unrolled" precompute variant: ~37% faster at runtime
+        # (docs/BENCH_LIVE_r04.json) but hour-class cold Mosaic compiles.
+        # Attempt it only on the healthy Pallas path; if its compile
+        # stalls past the watchdog, the stacked headline above is what
+        # gets published. When it succeeds AND beats the stacked wall,
+        # it becomes the headline (the stacked numbers stay attached).
+        # Gate on cache warmth: a seconds-class stacked compile means the
+        # persistent .jax_cache is live (so the unrolled programs warmed
+        # by the same queue run are too); a cold cache needs the full
+        # hour-class budget to be worth starting.
+        cache_warm = result.get("compile_s", 1e9) < 60
+        if pallas_error is None and engine is None and \
+                jax.default_backend() == "tpu" and \
+                _budget_left() > (600 if cache_warm else 7200):
+            from mbd_tpu.sim import batched as _BT
+            _BEST["section"] = "headline_unrolled_N1024"
+            with _BT.precompute_variant("unrolled"):
+                un = _bench("humanoidrun", north_cfg, engine=None,
+                            target_s=10.0, chunk=50)
+                un["precompute_variant"] = "unrolled"
+                if _budget_left() > 0.2 * watchdog_s:
+                    _BEST["section"] = "flagship_unrolled_N8192"
+                    un["flagship_Nsample8192"] = _bench(
+                        "humanoidrun", flag_cfg, engine=None,
+                        target_s=None, chunk=50)
+                    un["flagship_Nsample8192"]["precompute_variant"] = \
+                        "unrolled"
+            if un["wall_s"] < result["wall_s"]:
+                result["metric"] += " [stacked precompute]"
+                un["metric"] += " [unrolled precompute]"
+                un["pallas_lowering"] = result.get("pallas_lowering")
+                un["flop_model"] = result.get("flop_model")
+                un["stacked_variant"] = {
+                    k: result[k] for k in ("metric", "value", "wall_s",
+                                           "vs_baseline",
+                                           "flagship_Nsample8192")
+                    if k in result}
+                result = un
+            else:
+                result["unrolled_variant"] = {
+                    k: un[k] for k in ("metric", "value", "wall_s",
+                                       "vs_baseline",
+                                       "flagship_Nsample8192")
+                    if k in un}
+            _BEST["result"] = result
     except Exception as e:
         print(json.dumps({
             "metric": "ERROR: humanoidrun denoise bench failed",
@@ -292,8 +373,6 @@ def main():
                             "lowering; XLA-fused engine measured instead): "
                             + result["metric"])
         result["pallas_lowering_error"] = pallas_error
-    else:
-        result["pallas_lowering"] = "ok (kernel compiled+ran pre-flight)"
     print(json.dumps(result))
 
 

@@ -109,6 +109,11 @@ _REVERSE_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _cached_reverse_chunk(env, key, build):
+    from ..sim import batched as _batched
+
+    # the precompute variant is a trace-time switch (sim/batched.py): two
+    # variants of the same (cfg, engine) trace to different programs
+    key = (key, _batched.PRECOMPUTE_VARIANT)
     sub = _REVERSE_JIT_CACHE.setdefault(env, {})
     if key not in sub:
         sub[key] = jax.jit(build())

@@ -22,6 +22,7 @@ enforced by tests/test_batched_engine.py.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Dict, List, NamedTuple, Tuple
 
@@ -53,6 +54,49 @@ def constv(vals, B, dtype) -> Arr:
     constants — required for use inside Pallas kernels)."""
     Bs = _bshape(B)
     return jnp.stack([jnp.full(Bs, float(x), dtype) for x in vals])
+
+
+# ---------------------------------------------------------------------------
+# precompute variant: compile-time vs runtime trade (trace-time switch)
+# ---------------------------------------------------------------------------
+# Two forms of the heavy per-substep precompute (world spatial inertias;
+# PGS constraint rows / tree solves) — same formulas, same accumulation
+# order, same PGS sweep; a compiled SUBSTEP is bit-identical across
+# variants (tests/test_precompute_variants.py). Inside a full rollout
+# program XLA may fuse the two traces differently and reassociate f32,
+# so long chaotic trajectories can drift at rounding level — judge
+# planner rewards by level, not bitwise (same caveat as any trace-level
+# change; .claude/skills/verify). Opposite compile/runtime trades, both
+# measured on the humanoidrun denoise (TPU v5e, 2026-08-19):
+#
+#   "stacked" (default): body-/constraint-stacked builders, ONE tree solve
+#       over a [C, *B] stack. Minutes-class cold compiles (full humanoid
+#       bench in ~5 min vs ~90 min unrolled; fused humanoid harness rows
+#       ~8 min vs >2 h), 8.3M env-steps/s (docs/BENCH_LIVE_r05.json).
+#   "unrolled": per-body / per-constraint sparse builders — each tree
+#       solve touches only the dofs its constraint actually reaches, so
+#       fewer flops execute: ~37% faster (11.4M env-steps/s,
+#       docs/BENCH_LIVE_r04.json) but hour-class cold Mosaic/XLA compiles
+#       on humanoid-sized morphologies.
+#
+# The switch is read at TRACE time. Use the context manager around the
+# jit/trace of the step you want, e.g.
+#     with batched.precompute_variant("unrolled"):
+#         fn = jax.jit(step); fn(...)   # first call must trace inside
+PRECOMPUTE_VARIANT = "stacked"
+
+
+@contextlib.contextmanager
+def precompute_variant(name: str):
+    if name not in ("stacked", "unrolled"):
+        raise ValueError(f"unknown precompute variant: {name!r}")
+    global PRECOMPUTE_VARIANT
+    prev = PRECOMPUTE_VARIANT
+    PRECOMPUTE_VARIANT = name
+    try:
+        yield
+    finally:
+        PRECOMPUTE_VARIANT = prev
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +325,50 @@ def topo(sys: System) -> TopoCache:
     return _TOPO_CACHE[key]
 
 
+def _spatial_inertia_one(sys: System, kin: KinB, b: int) -> List[List[Arr]]:
+    """6×6 world spatial inertia of body b as a nested list of [B] rows —
+    the "unrolled" precompute-variant form (per-body python-scalar
+    constants folded into the ops; sparse, but re-emits every component
+    slice nbody× → hour-class humanoid compiles; see precompute_variant).
+    """
+    dtype = kin.xpos[1].dtype
+    B = kin.xpos[1].shape[1:]
+    m = float(np.asarray(sys.body_mass)[b])
+    ipos = np.asarray(sys.body_ipos)[b]
+    iquat = np.asarray(sys.body_iquat)[b]
+    diag = np.asarray(sys.body_inertia)[b]
+
+    const = lambda v: constv(v, B, dtype)  # noqa: E731
+    com = kin.xpos[b] + qrot(kin.xquat[b], const(ipos))
+    iq = qmul(kin.xquat[b], const(iquat))
+    c0, c1, c2 = quat_to_cols(iq)
+    # I_rot = R diag Rᵀ = Σ_k diag_k c_k c_kᵀ
+    cols = (c0, c1, c2)
+    Irot = [[sum(float(diag[k]) * cols[k][a] * cols[k][bb]
+                 for k in range(3)) for bb in range(3)] for a in range(3)]
+    cx, cy, cz = com[0], com[1], com[2]
+    # m (c·c δ_ab − c_a c_b) added to I_rot gives I about origin
+    c2sum = cx * cx + cy * cy + cz * cz
+    comv = (cx, cy, cz)
+    I = [[None] * 6 for _ in range(6)]
+    for a in range(3):
+        for bb in range(3):
+            extra = m * ((c2sum if a == bb else 0.0) - comv[a] * comv[bb])
+            I[a][bb] = Irot[a][bb] + extra
+    # top-right m c× ; bottom-left m c×ᵀ ; bottom-right m I₃
+    zeroB = jnp.zeros(B, dtype)
+    cxm = [[zeroB, -m * cz, m * cy],
+           [m * cz, zeroB, -m * cx],
+           [-m * cy, m * cx, zeroB]]
+    for a in range(3):
+        for bb in range(3):
+            I[a][3 + bb] = cxm[a][bb]
+            I[3 + a][bb] = cxm[bb][a]
+            I[3 + a][3 + bb] = jnp.full((), m, dtype) + zeroB \
+                if a == bb else zeroB
+    return I
+
+
 def spatial_inertia_all(sys: System, kin: KinB) -> List[List[List[Arr]]]:
     """6×6 world spatial inertias of ALL bodies as nested lists of [B] rows.
 
@@ -292,7 +380,14 @@ def spatial_inertia_all(sys: System, kin: KinB) -> List[List[List[Arr]]]:
     fused-XLA and Mosaic compile times. Values bit-match the per-body form
     (identical formulas and accumulation order, elementwise over the stack).
     Returns I_all with I_all[0] = None (world body).
+
+    Under precompute_variant("unrolled") the per-body form is emitted
+    instead — fewer executed flops, hour-class humanoid compiles (see the
+    variant-switch note at the top of this module).
     """
+    if PRECOMPUTE_VARIANT == "unrolled":
+        return [None] + [_spatial_inertia_one(sys, kin, b)
+                         for b in range(1, sys.nbody)]
     dtype = kin.xpos[1].dtype
     B = kin.xpos[1].shape[1:]
     nb1 = sys.nbody - 1
@@ -689,33 +784,18 @@ def collide_b(sys: System, kin: KinB) -> List[ContactB]:
     return out
 
 
-def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
-                   cons: List[ContactB], fac: LDL,
-                   rhs: List[Arr], h: float,
-                   qd: Arr = None,
-                   limits: List[Tuple[int, float, Arr]] = (),
-                   static_rows: bool = False) -> List[Arr]:
-    """Accumulate contact AND joint-limit forces into the net-force list
-    ``rhs`` (= qfrc − bias − damping·qd, list of [B] per dof).
-    ``limits`` entries are (dof, sign, violation[B]) unilateral 1-dof
-    constraints (sign +1 = lower limit pushing q up); they join the same
-    PGS sweep as contacts, ordered after them.
-
-    Projected Gauss–Seidel over the contact set (constants + rationale:
-    sim/contact.py, which runs the SAME sweeps in the same
-    sys.contact_pairs order so the engines stay in parity): each
-    contact's accumulated normal force moves toward the value that
-    leaves its predicted normal velocity — under ALL forces accumulated
-    into the running ``rhs`` so far — at the bounded Baumgarte pushout,
-    projected to [0, m_eff·a_ref]. The earlier single-pass Jacobi cap
-    (every contact against the same pre-contact snapshot) let N
-    simultaneous contacts sharing the root each cancel the FULL approach
-    velocity: the summed impulse acted as a trampoline (ant plans
-    ballistic to 30 m, humanoid belly-flops rebounding at 0.8× impact
-    speed; docs/ANT_PLAUSIBILITY.json pre-GS). Statics are unchanged: in
-    stance the spring reference caps the force either way.
-    """
-    from .contact import BAUMGARTE_BETA, N_GS_PASSES, V_PUSH_MAX
+def _precompute_rows_unrolled(sys: System, kin: KinB, v_b: List[Arr],
+                              cons: List[ContactB], fac: LDL,
+                              rhs: List[Arr], h: float, qd: Arr,
+                              limits: List[Tuple[int, float, Arr]]):
+    """Per-constraint sparse precompute — the "unrolled" variant form
+    (docs/BENCH_LIVE_r04.json's kernel). One ldl_solve per constraint row,
+    each touching only the dofs the constraint reaches (structural-zero
+    rows stay None through the tree sweeps), then stacked to the same
+    [C, nv, *B] / [C, *B] arrays the shared PGS sweep consumes. Fewer
+    executed flops than the stacked ONE-solve form, C× more emitted HLO
+    (hour-class humanoid compiles — see precompute_variant)."""
+    from .contact import BAUMGARTE_BETA, V_PUSH_MAX
 
     tc = topo(sys)
     k = float(np.asarray(sys.contact_stiffness))
@@ -723,27 +803,126 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
     eps = float(np.asarray(sys.friction_vel_tol))
     k_lim = float(np.asarray(sys.limit_stiffness))
 
-    Cc, Cl = len(cons), len(limits)
-    C = Cc + Cl
-    if C == 0:
-        return list(rhs)
+    # per-contact static data (Jacobian rows, effective mass, caps) — the
+    # ldl_solve per contact happens ONCE, outside the sweep loop
+    pre = []
+    for con in cons:
+        dofs_b = tc.ancdof_body[con.body_b]
+        dofs_a = tc.ancdof_body[con.body_a]
+        sgn = {i: 1.0 for i in dofs_b}
+        for i in dofs_a:
+            sgn[i] = sgn.get(i, 0.0) - 1.0
+        dofs = [i for i, s in sgn.items() if s != 0.0]
+
+        p, n = con.pos, con.normal
+
+        def pvel(b):
+            vang, vlin = v_b[b][:3], v_b[b][3:]
+            return vlin + cross(vang, p)
+
+        v_rel = pvel(con.body_b) - pvel(con.body_a)
+        vn = dot3(v_rel, n)
+        vt = v_rel - vn * n
+
+        # normal Jacobian row (sparse over dofs)
+        pxn = cross(p, n)
+        Jn = {}
+        for i in dofs:
+            S = kin.S[i]
+            Jn[i] = sgn[i] * (S[0] * pxn[0] + S[1] * pxn[1] + S[2] * pxn[2]
+                              + S[3] * n[0] + S[4] * n[1] + S[5] * n[2])
+        jn_rows = [Jn.get(i) for i in range(sys.nv)]
+        MinvJ = ldl_solve(fac, jn_rows)
+        jmj = None
+        for i in dofs:
+            t = Jn[i] * MinvJ[i]
+            jmj = t if jmj is None else jmj + t
+        m_eff = 1.0 / (jmj + 1e-8)
+
+        active = con.depth > 0.0
+        a_ref = jnp.maximum(k * con.depth - bdamp * vn, 0.0)
+        fn_max = m_eff * a_ref * active
+        v_bias = jnp.minimum(
+            BAUMGARTE_BETA * jnp.maximum(con.depth, 0.0) / h, V_PUSH_MAX)
+        # spatial force row for unit normal force (friction tied in at μ,
+        # direction fixed from the pre-contact tangent velocity)
+        t_dir = vt / jnp.sqrt(dot3(vt, vt) + eps * eps)
+        d = n - con.mu * t_dir
+        pxd = cross(p, d)
+        rows = {}
+        for i in dofs:
+            S = kin.S[i]
+            rows[i] = sgn[i] * (S[0] * pxd[0] + S[1] * pxd[1]
+                                + S[2] * pxd[2] + S[3] * d[0]
+                                + S[4] * d[1] + S[5] * d[2])
+        pre.append((dofs, MinvJ, m_eff, vn, v_bias, fn_max, rows))
+
+    # joint limits as 1-dof unilateral constraints: Jacobian row s·e_d,
+    # exact effective mass from the SAME implicit-damped factorization,
+    # spring reference k_lim·violation, bounded Baumgarte pushout —
+    # identical solver semantics to contacts
+    minvE_cache: Dict[int, List] = {}
+    for dadr, s, vio in limits:
+        if dadr not in minvE_cache:
+            e_rows: List = [None] * sys.nv
+            e_rows[dadr] = jnp.ones_like(vio)
+            minvE_cache[dadr] = ldl_solve(fac, e_rows)
+        MinvE = minvE_cache[dadr]
+        MinvJ = [None if x is None else s * x for x in MinvE]
+        m_eff = 1.0 / (MinvE[dadr] + 1e-8)
+        active = vio > 0.0
+        vn = s * qd[dadr]
+        v_bias = jnp.minimum(BAUMGARTE_BETA * vio / h, V_PUSH_MAX)
+        fn_max = m_eff * k_lim * vio * active
+        pre.append(([dadr], MinvJ, m_eff, vn, v_bias, fn_max, {dadr: s}))
 
     B = rhs[0].shape
     dtype = rhs[0].dtype
     zero = jnp.zeros(B, dtype)
-    nv = sys.nv
 
-    # The pre-compute (Jacobian rows, M⁻¹J, effective masses, caps) is
-    # homogeneous ACROSS constraint rows, so it is built stacked on a
-    # leading [C] axis and the C tree solves collapse into ONE ldl_solve
-    # over [C, *B] entries. The earlier per-row form called ldl_solve C
-    # times with code-unrolled tree sweeps — for humanoid scenes (~40
-    # contact points + 34 limit rows) that alone emitted tens of
-    # thousands of HLO ops and pushed fused-XLA compiles past 2 h and
-    # Mosaic kernel compiles past 1 h; the stacked form is the same math
-    # on the same factorization, C× fewer ops. All broadcasts below keep
-    # the trailing batch dims exact (leading-dim rank promotion only),
-    # which Mosaic lowers fine inside the Pallas rollout kernel.
+    def stack_rows(getter):
+        return jnp.stack([jnp.stack([getter(e, i) for i in range(sys.nv)])
+                          for e in pre])                    # [C, nv, *B]
+
+    MinvJ_st = stack_rows(
+        lambda e, i: zero if e[1][i] is None else e[1][i] + zero)
+    rows_st = stack_rows(lambda e, i: e[6].get(i, zero) + zero)
+    m_eff_st = jnp.stack([e[2] + zero for e in pre])        # [C, *B]
+    vn_st = jnp.stack([e[3] + zero for e in pre])
+    vbias_st = jnp.stack([e[4] + zero for e in pre])
+    fnmax_st = jnp.stack([e[5] + zero for e in pre])
+    return MinvJ_st, rows_st, m_eff_st, vn_st, vbias_st, fnmax_st
+
+
+def _precompute_rows_stacked(sys: System, kin: KinB, v_b: List[Arr],
+                             cons: List[ContactB], fac: LDL,
+                             rhs: List[Arr], h: float, qd: Arr,
+                             limits: List[Tuple[int, float, Arr]]):
+    """Constraint-stacked precompute — the default variant (see
+    precompute_variant). The pre-compute (Jacobian rows, M⁻¹J, effective
+    masses, caps) is homogeneous ACROSS constraint rows, so it is built
+    stacked on a leading [C] axis and the C tree solves collapse into ONE
+    ldl_solve over [C, *B] entries. The per-row "unrolled" variant calls
+    ldl_solve C times with code-unrolled tree sweeps — for humanoid scenes
+    (~40 contact points + 34 limit rows) that alone emitted tens of
+    thousands of HLO ops and pushed fused-XLA compiles past 2 h and Mosaic
+    kernel compiles past 1 h; the stacked form is the same math on the
+    same factorization, C× fewer ops. All broadcasts below keep the
+    trailing batch dims exact (leading-dim rank promotion only), which
+    Mosaic lowers fine inside the Pallas rollout kernel.
+    """
+    from .contact import BAUMGARTE_BETA, V_PUSH_MAX
+
+    tc = topo(sys)
+    k = float(np.asarray(sys.contact_stiffness))
+    bdamp = float(np.asarray(sys.contact_damping))
+    eps = float(np.asarray(sys.friction_vel_tol))
+    k_lim = float(np.asarray(sys.limit_stiffness))
+    Cc, Cl = len(cons), len(limits)
+    C = Cc + Cl
+    B = rhs[0].shape
+    dtype = rhs[0].dtype
+    nv = sys.nv
 
     # static per-constraint dof signs (numpy): contacts ±1 over the
     # ancestor dofs of the two bodies, limits s·e_dadr
@@ -843,6 +1022,54 @@ def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
     MinvJ_st = jnp.stack([zc if xi is None else xi for xi in x], axis=1)
     m_eff_st = 1.0 / ((J_all * MinvJ_st).sum(axis=1) + 1e-8)
     fnmax_st = m_eff_st * cap_st
+    return MinvJ_st, rows_st, m_eff_st, vn_st, vbias_st, fnmax_st
+
+
+def contact_qfrc_b(sys: System, kin: KinB, v_b: List[Arr],
+                   cons: List[ContactB], fac: LDL,
+                   rhs: List[Arr], h: float,
+                   qd: Arr = None,
+                   limits: List[Tuple[int, float, Arr]] = (),
+                   static_rows: bool = False) -> List[Arr]:
+    """Accumulate contact AND joint-limit forces into the net-force list
+    ``rhs`` (= qfrc − bias − damping·qd, list of [B] per dof).
+    ``limits`` entries are (dof, sign, violation[B]) unilateral 1-dof
+    constraints (sign +1 = lower limit pushing q up); they join the same
+    PGS sweep as contacts, ordered after them.
+
+    Projected Gauss–Seidel over the contact set (constants + rationale:
+    sim/contact.py, which runs the SAME sweeps in the same
+    sys.contact_pairs order so the engines stay in parity): each
+    contact's accumulated normal force moves toward the value that
+    leaves its predicted normal velocity — under ALL forces accumulated
+    into the running ``rhs`` so far — at the bounded Baumgarte pushout,
+    projected to [0, m_eff·a_ref]. The earlier single-pass Jacobi cap
+    (every contact against the same pre-contact snapshot) let N
+    simultaneous contacts sharing the root each cancel the FULL approach
+    velocity: the summed impulse acted as a trampoline (ant plans
+    ballistic to 30 m, humanoid belly-flops rebounding at 0.8× impact
+    speed; docs/ANT_PLAUSIBILITY.json pre-GS). Statics are unchanged: in
+    stance the spring reference caps the force either way.
+    """
+    from .contact import N_GS_PASSES
+
+    Cc, Cl = len(cons), len(limits)
+    C = Cc + Cl
+    if C == 0:
+        return list(rhs)
+
+    B = rhs[0].shape
+    dtype = rhs[0].dtype
+    zero = jnp.zeros(B, dtype)
+
+    if PRECOMPUTE_VARIANT == "unrolled":
+        (MinvJ_st, rows_st, m_eff_st, vn_st, vbias_st,
+         fnmax_st) = _precompute_rows_unrolled(sys, kin, v_b, cons, fac,
+                                               rhs, h, qd, limits)
+    else:
+        (MinvJ_st, rows_st, m_eff_st, vn_st, vbias_st,
+         fnmax_st) = _precompute_rows_stacked(sys, kin, v_b, cons, fac,
+                                              rhs, h, qd, limits)
 
     # Two row-sweep forms over the same stacked data, selected by
     # ``static_rows`` — identical math, row order, and projection, so the

@@ -35,8 +35,13 @@ def run_tasks(cmd_template: Sequence[str], tasks: Sequence[str],
     binary = ensure_built()
     cmd = [binary, "--timeout", str(timeout_sec), "--retries", str(retries),
            "--jobs", str(jobs), "--"] + list(cmd_template)
+    # stderr must NOT be captured: workers inherit it through the native
+    # launcher, and it carries the only diagnostics when a task fails
+    # (round-5 lesson: a crashed humanoidrun worker left zero trace because
+    # capture_output swallowed it). Inheriting streams it to the caller's
+    # stderr / whatever log the caller redirected to.
     proc = subprocess.run(cmd, input="\n".join(tasks) + "\n",
-                          capture_output=True, text=True)
+                          stdout=subprocess.PIPE, stderr=None, text=True)
     out = []
     for line in proc.stdout.splitlines():
         if line.startswith("{"):

@@ -249,9 +249,10 @@ def main():
         args.envs, timeout_sec=args.timeout, retries=1, jobs=1)
 
     results = {}
+    failed_tasks = []
     for r in records:
         if r.get("failed"):
-            results[r["task"]] = {"failed": True}
+            failed_tasks.append(r["task"])
             continue
         rec = r["result"]
         row = _aggregate(rec)
@@ -267,6 +268,18 @@ def main():
             merged = json.load(f)
         merged.update(results)
         results = merged
+    # a failed run must never erase a previously earned row: annotate an
+    # existing row instead of replacing it (round-5 lesson — a crashed
+    # humanoidrun worker overwrote the prior measurement with
+    # {"failed": true})
+    for task in failed_tasks:
+        prior = results.get(task)
+        if isinstance(prior, dict) and "rew_mean" in prior:
+            prior["last_attempt_failed"] = True
+        else:
+            results[task] = {"failed": True}
+        print(f"{task}: FAILED (see stderr above for the worker trace)",
+              flush=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {args.out}")
