@@ -163,11 +163,21 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
                         env, state_init, Y0s_, b_tile=b_tile)
                     logpd = jnp.zeros(rewss.shape[0])
             else:
-                rewss, qs, bad = rollout_rewards(
+                # demo scoring prefers the folded-FK q-trace scorer: the
+                # state-based one would materialize full link states for
+                # every sample×step (multi-GB at humanoid scale)
+                use_qs = cfg.enable_demo and hasattr(env,
+                                                     "traj_xref_logpd_qs")
+                rewss, tr, bad = rollout_rewards(
                     env, state_init, Y0s_,
-                    need_states=cfg.enable_demo or None)
-                logpd = (env.traj_xref_logpd(qs) if cfg.enable_demo
-                         else jnp.zeros(rewss.shape[0]))
+                    need_states=(cfg.enable_demo and not use_qs) or None,
+                    need_qs=use_qs)
+                if not cfg.enable_demo:
+                    logpd = jnp.zeros(rewss.shape[0])
+                elif use_qs:
+                    logpd = env.traj_xref_logpd_qs(tr)
+                else:
+                    logpd = env.traj_xref_logpd(tr)
             return rewss.mean(axis=-1), bad, logpd
 
         if mesh is not None:
@@ -317,10 +327,20 @@ def make_reverse_once_batch(env, cfg: MBDConfig, states_init, sched,
                                                         b_tile=b_tile)
                     logpd = jnp.zeros(rewss.shape[0])
             else:
-                rewss, ps, bad = rollout_rewards(
-                    env, shim, flat, need_states=cfg.enable_demo or None)
-                logpd = (env.traj_xref_logpd(ps) if cfg.enable_demo
-                         else jnp.zeros(rewss.shape[0]))
+                # same folded-FK preference as make_reverse_once: full
+                # link states over S·N samples are a multi-GB HBM spike
+                use_qs = cfg.enable_demo and hasattr(env,
+                                                     "traj_xref_logpd_qs")
+                rewss, tr, bad = rollout_rewards(
+                    env, shim, flat,
+                    need_states=(cfg.enable_demo and not use_qs) or None,
+                    need_qs=use_qs)
+                if not cfg.enable_demo:
+                    logpd = jnp.zeros(rewss.shape[0])
+                elif use_qs:
+                    logpd = env.traj_xref_logpd_qs(tr)
+                else:
+                    logpd = env.traj_xref_logpd(tr)
             return rewss.mean(axis=-1), bad, logpd
 
         if mesh is not None:

@@ -68,7 +68,8 @@ def states_from_qs(sys, qs: jnp.ndarray, qds: jnp.ndarray) -> PipelineState:
     )
 
 
-def rollout_rewards(env, state0, Y0s: jnp.ndarray, need_states: bool = None
+def rollout_rewards(env, state0, Y0s: jnp.ndarray, need_states: bool = None,
+                    need_qs: bool = False
                     ) -> Tuple[jnp.ndarray, PipelineState]:
     """Fused equivalent of vmap(rollout_us): Y0s [N, H, nu] →
     (rews [N, H], stacked PipelineState with [H, N] leading axes).
@@ -76,7 +77,15 @@ def rollout_rewards(env, state0, Y0s: jnp.ndarray, need_states: bool = None
     When the env provides ``reward_qs_b`` (reward as a pure function of the
     batch-last q/qd/ctrl arrays — true for every physics env in the suite)
     and the caller doesn't need link states, the post-rollout FK pass is
-    skipped entirely. The demo branch passes ``need_states=True``.
+    skipped entirely.
+
+    ``need_qs=True`` returns the raw position trace qs [H, nq, N] as the
+    middle element instead of link states — for envs with a
+    ``traj_xref_logpd_qs`` folded-FK scorer this keeps the demo branch's
+    footprint at one [H, nq, N] array instead of materializing full link
+    states for every sample×step (states_from_qs on 16k humanoid samples
+    is a multi-GB HBM spike). Callers that need true link states (e.g.
+    final-plan scoring over a handful of plans) pass ``need_states=True``.
 
     ``state0.pipeline_state.q/.qd`` may carry a trailing per-sample batch
     axis ([nq, N] instead of [nq]) — each sample then rolls out from its own
@@ -121,4 +130,5 @@ def rollout_rewards(env, state0, Y0s: jnp.ndarray, need_states: bool = None
         rews = rews.reshape(H, Np)[:, :N]
     else:
         rews = env.traj_reward(ps, Y0s, state0.pipeline_state)
-    return jnp.transpose(rews, (1, 0)), ps, diverged
+    mid = qs.reshape(H, sys.nq, Np)[..., :N] if need_qs else ps
+    return jnp.transpose(rews, (1, 0)), mid, diverged
