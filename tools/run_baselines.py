@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 METHODS = ["mppi", "cem", "cma-es"]
 
 
-def worker(task: str, n_seeds: int, platform: str = "", engine: str = ""):
+def worker(task: str, n_seeds: int, platform: str = "", engine: str = "",
+           seed_chunk: int = 0):
     from mbd_tpu.utils.platform import force_platform
 
     force_platform(platform)
@@ -52,11 +53,20 @@ def worker(task: str, n_seeds: int, platform: str = "", engine: str = ""):
     from mbd_tpu.envs.physics import PhysicsEnv
     eng = engine if (engine and isinstance(env, PhysicsEnv)) else None
     t0 = time.time()
-    res = path_integral.plan_batch(env, cfg, rngs, engine=eng)
+    # --seed_chunk: split the seed batch into HBM-fitting chunks sharing
+    # ONE compiled program (same policy as tools/run_results.py —
+    # humanoidrun's 8×8192 flat sample axis does not fit the fused engine)
+    K = seed_chunk if seed_chunk > 0 else n_seeds
+    if n_seeds % K != 0:
+        raise SystemExit(f"--seed_chunk {K} does not divide {n_seeds}")
+    parts = [path_integral.plan_batch(env, cfg, rngs[i:i + K], engine=eng)
+             for i in range(0, n_seeds, K)]
+    rewards = [float(r) for p in parts for r in p.final_reward]
+    diverged = [bool(d) for p in parts for d in p.final_diverged]
     print(json.dumps({
         "env": env_name, "method": method, "n_seeds": n_seeds,
-        "rewards": [float(r) for r in res.final_reward],
-        "diverged": [bool(d) for d in res.final_diverged],
+        "rewards": rewards,
+        "diverged": diverged,
         "backend": jax.default_backend(),
         "engine": eng or "default",
         "wall_s": round(time.time() - t0, 1),
@@ -105,10 +115,16 @@ def main():
                         "default_engine). 'fused' skips the Pallas "
                         "kernel's long one-off Mosaic compile per "
                         "(env, method) program — same math, parity-tested")
+    p.add_argument("--seed_chunk", type=int, default=0,
+                   help="run the seed batch in chunks of K seeds sharing "
+                        "one compiled program (0 = all seeds in one "
+                        "batch). For envs whose flattened seeds×Nsample "
+                        "axis exceeds HBM (humanoidrun: 8×8192 on fused)")
     args = p.parse_args()
 
     if args.worker:
-        worker(args.worker, args.n_seeds, args.platform, args.engine)
+        worker(args.worker, args.n_seeds, args.platform, args.engine,
+               args.seed_chunk)
         return
 
     from mbd_tpu.utils import launcher
@@ -117,7 +133,7 @@ def main():
     records = launcher.run_tasks(
         [sys.executable, os.path.abspath(__file__), "--worker", "{task}",
          "--n_seeds", str(args.n_seeds), "--platform", args.platform,
-         "--engine", args.engine],
+         "--engine", args.engine, "--seed_chunk", str(args.seed_chunk)],
         tasks, timeout_sec=args.timeout, retries=1, jobs=1)
 
     mbd_table = {}
