@@ -360,6 +360,22 @@ def main():
                     if k in un}
             _BEST["result"] = result
     except Exception as e:
+        best = _BEST["result"]
+        if best is not None:
+            # a failure in a later section must not discard the headline
+            best["section_error"] = {
+                "section": _BEST["section"],
+                "error": f"{type(e).__name__}: {e}",
+                "traceback": traceback.format_exc()[-1500:],
+            }
+            if pallas_error is not None:
+                best["metric"] = ("DEGRADED (Pallas kernel failed Mosaic "
+                                  "lowering; XLA-fused engine measured "
+                                  "instead): " + best["metric"])
+                best["pallas_lowering_error"] = pallas_error
+            done.set()
+            print(json.dumps(best))
+            return
         print(json.dumps({
             "metric": "ERROR: humanoidrun denoise bench failed",
             "value": 0, "unit": "env-steps/sec", "vs_baseline": 0.0,
