@@ -345,7 +345,20 @@ def main():
                 result["metric"] += " [stacked precompute]"
                 un["metric"] += " [unrolled precompute]"
                 un["pallas_lowering"] = result.get("pallas_lowering")
-                un["flop_model"] = result.get("flop_model")
+                fm = dict(result.get("flop_model") or {})
+                if "flops_per_substep_batch" in fm:
+                    # same substep count and flop model; rescale achieved
+                    # throughput to the winning variant's wall time
+                    total = fm["flops_per_substep_batch"] * fm["substeps"]
+                    ach = total / un["wall_s"]
+                    fm["algorithmic_tflops_per_s"] = round(ach / 1e12, 3)
+                    for k in list(fm):
+                        if k.startswith("algorithmic_vs_"):
+                            peak = _PEAKS.get(fm.get("device_kind"), {}).get(
+                                k[len("algorithmic_vs_"):-len("_peak")])
+                            if peak:
+                                fm[k] = round(ach / peak, 4)
+                un["flop_model"] = fm
                 un["stacked_variant"] = {
                     k: result[k] for k in ("metric", "value", "wall_s",
                                            "vs_baseline",
