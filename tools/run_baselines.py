@@ -57,6 +57,13 @@ def worker(task: str, n_seeds: int, platform: str = "", engine: str = "",
     # ONE compiled program (same policy as tools/run_results.py —
     # humanoidrun's 8×8192 flat sample axis does not fit the fused engine)
     K = seed_chunk if seed_chunk > 0 else n_seeds
+    if seed_chunk == 0 and isinstance(env, PhysicsEnv) \
+            and env.sys.nbody >= 10:
+        # measured HBM ceiling (round 5): every 16384-flat humanoid fused
+        # program died on-chip, 8192-flat runs — the corrected PGS solver
+        # carries [C, nv, B] live constraint stacks. Auto-chunk down.
+        while cfg.Nsample * K > 8192 and K % 2 == 0:
+            K //= 2
     if n_seeds % K != 0:
         raise SystemExit(f"--seed_chunk {K} does not divide {n_seeds}")
     parts = [path_integral.plan_batch(env, cfg, rngs[i:i + K], engine=eng)

@@ -76,6 +76,13 @@ def worker(task: str, engine: str, n_seeds: int, chunk_size: int,
     # and keyed by (cfg, engine, S)), and per-seed results are unchanged —
     # each seed's RNG chain is its own.
     K = seed_chunk if seed_chunk > 0 else n_seeds
+    if seed_chunk == 0 and isinstance(env, PhysicsEnv) \
+            and env.sys.nbody >= 10:
+        # measured HBM ceiling (round 5): every 16384-flat humanoid fused
+        # program died on-chip, 8192-flat runs — the corrected PGS solver
+        # carries [C, nv, B] live constraint stacks. Auto-chunk down.
+        while cfg.Nsample * K > 8192 and K % 2 == 0:
+            K //= 2
     if n_seeds % K != 0:
         raise SystemExit(
             f"--seed_chunk {K} does not divide n_seeds={n_seeds}: the "
