@@ -60,6 +60,16 @@ class Ant(PhysicsEnv):
         return vel[..., 0] + healthy - jnp.transpose(ctrl_cost)
 
 
+    def obs_qs_b(self, q, qd):
+        """Batch-last _obs: [q[2:], qd] (root x/y excluded)."""
+        return jnp.concatenate([q[2:], qd], axis=0)
+
+    def rl_done_qs_b(self, q, qd):
+        """step() terminates when unhealthy: torso z = q[2] outside
+        [0.2, 1.0] (free root -> torso pos = q[0:3])."""
+        healthy = (q[2] >= 0.2) & (q[2] <= 1.0)
+        return 1.0 - healthy.astype(q.dtype)
+
     def reward_qs_b(self, qs, qds, us, q0, qd0):
         """Batch-last fast path: free root → torso pos = q[0:3]; velocity
         from x displacement over env.dt."""

@@ -49,6 +49,10 @@ class Halfcheetah(PhysicsEnv):
         return vel[..., 0] - jnp.transpose(ctrl_cost)
 
 
+    def obs_qs_b(self, q, qd):
+        """Batch-last _obs: [q[1:], qd] (root x excluded)."""
+        return jnp.concatenate([q[1:], qd], axis=0)
+
     def reward_qs_b(self, qs, qds, us, q0, qd0):
         """Batch-last fast path: torso x = q[0]."""
         # q0[0:1] not q0[None, 0]: the latter lowers to a >2-D gather, which

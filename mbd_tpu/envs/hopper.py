@@ -51,6 +51,11 @@ class Hopper(PhysicsEnv):
             jnp.abs(ps.x.pos[0, 2] - 1.0), -1.0, 1.0)
 
 
+    def obs_qs_b(self, q, qd):
+        """Batch-last _obs: position = q (torso z IS q[1] for this
+        morphology — same shortcut reward_qs_b uses), velocity clipped."""
+        return jnp.concatenate([q, jnp.clip(qd, -10.0, 10.0)], axis=0)
+
     def reward_qs_b(self, qs, qds, us, q0, qd0):
         """Batch-last fast path: torso (x, z) = (q[0], q[1]) for this
         morphology (verified vs FK), so rewards need no kinematics."""

@@ -60,3 +60,19 @@ class PhysicsEnv(Env):
         have leading [H, B] axes. Default: the per-state reward formula;
         envs whose reward depends on the previous state override this."""
         return jax.vmap(jax.vmap(self._reward))(ps_stack)
+
+    # --- batch-last RL training interface (rl/batched_env.py) ---
+    # Counterparts of _obs / step-done as pure batch-last q/qd functions,
+    # mirroring how reward_qs_b shortcuts _reward (torso pose from q for
+    # these morphologies — verified vs FK by the fused-engine tests).
+
+    def obs_qs_b(self, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
+        """Observation [obs, B] from batch-last q [nq, B] / qd [nv, B].
+        Default: [q, qd] (humanoidrun/humanoidstandup/pushT _obs)."""
+        return jnp.concatenate([q, qd], axis=0)
+
+    def rl_done_qs_b(self, q: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
+        """Per-step termination flags [B] from the post-step state.
+        Default: episodes never self-terminate (hopper/walker2d/
+        halfcheetah/humanoid step() always returns done=0)."""
+        return jnp.zeros(q.shape[1:], q.dtype)

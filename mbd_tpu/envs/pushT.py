@@ -61,6 +61,11 @@ class PushT(PhysicsEnv):
         return 16
 
 
+    def rl_done_qs_b(self, q, qd):
+        """step() terminates on success: reward > 0.95 (_done)."""
+        r = self.reward_qs_b(q[None], qd[None], None, q, qd)[0]
+        return (r > 0.95).astype(q.dtype)
+
     def reward_qs_b(self, qs, qds, us, q0, qd0):
         """Batch-last fast path: reward is a pure q function."""
         d_goal = jnp.sqrt(((qs[:, 5:7] - qs[:, 2:4]) ** 2).sum(1))

@@ -63,6 +63,13 @@ class TrainState:
 
 def train(env, cfg: PPOConfig, progress_fn: Optional[Callable] = None):
     """Returns (make_inference_fn, params, metrics_history)."""
+    # Rollouts run batch-LAST through the engine's lane-packed hot path
+    # whenever the env exposes it (all physics envs) — the vmap(step)
+    # path (the reference's brax.training shape) stays as the fallback
+    # and as the evaluation oracle. Parity: tests/test_rl_batched_env.py.
+    use_batch_last = (hasattr(env, "sys") and hasattr(env, "reward_qs_b")
+                      and hasattr(env, "obs_qs_b")
+                      and cfg.action_repeat == 1)
     wrapped = wrap_for_training(env, cfg.episode_length, cfg.action_repeat)
     obs_size, act_size = env.observation_size, env.action_size
 
@@ -79,8 +86,16 @@ def train(env, cfg: PPOConfig, progress_fn: Optional[Callable] = None):
         obs_stats=networks.RunningStats.create(obs_size))
     opt_state = optimizer.init((params.policy, params.value))
 
-    reset_keys = jax.random.split(k_env, cfg.num_envs)
-    env_state = jax.jit(jax.vmap(wrapped.reset))(reset_keys)
+    if use_batch_last:
+        from .batched_env import BatchedTrainEnv
+
+        btenv = BatchedTrainEnv(env, cfg.episode_length)
+        env_state = jax.jit(btenv.reset, static_argnums=1)(
+            k_env, cfg.num_envs)
+        first_state = env_state     # cached auto-reset pool (brax)
+    else:
+        reset_keys = jax.random.split(k_env, cfg.num_envs)
+        env_state = jax.jit(jax.vmap(wrapped.reset))(reset_keys)
 
     def norm_obs(params: PPOParams, obs):
         if cfg.normalize_observations:
@@ -98,12 +113,20 @@ def train(env, cfg: PPOConfig, progress_fn: Optional[Callable] = None):
             keys = jax.random.split(k_act, cfg.num_envs)
             act, logp, pre = jax.vmap(networks.sample_action)(
                 mu, log_sig, keys)
-            next_state = jax.vmap(wrapped.step)(env_state, act)
-            data = dict(obs=env_state.obs, act=act, logp=logp, pre=pre,
-                        reward=next_state.reward * cfg.reward_scaling,
-                        done=next_state.done,
-                        truncation=next_state.metrics["truncation"],
-                        next_obs=next_state.obs)
+            if use_batch_last:
+                next_state, rew, done, trunc = btenv.step(
+                    env_state, first_state, act)
+                data = dict(obs=env_state.obs, act=act, logp=logp, pre=pre,
+                            reward=rew * cfg.reward_scaling,
+                            done=done, truncation=trunc,
+                            next_obs=next_state.obs)
+            else:
+                next_state = jax.vmap(wrapped.step)(env_state, act)
+                data = dict(obs=env_state.obs, act=act, logp=logp, pre=pre,
+                            reward=next_state.reward * cfg.reward_scaling,
+                            done=next_state.done,
+                            truncation=next_state.metrics["truncation"],
+                            next_obs=next_state.obs)
             return (next_state, rng), data
 
         (env_state, rng), data = jax.lax.scan(

@@ -203,6 +203,12 @@ def main(argv=None):
             "eval_protocol": f"8 seeds x {n_steps} steps, mean step reward",
             "backend": jax.default_backend(),
             "train_wall_s": train_wall_s,
+            # rollout engine: PPO physics envs train batch-last through
+            # the lane-packed engine (rl/batched_env.py); eval always
+            # runs the vmap oracle path
+            "rollout": ("batch_last"
+                        if (args.env_name in PPO_CONFIGS
+                            and hasattr(env, "obs_qs_b")) else "vmap"),
         }
         table = {}
         if os.path.exists(args.out):
