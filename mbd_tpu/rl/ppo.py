@@ -61,8 +61,15 @@ class TrainState:
     steps: jnp.ndarray
 
 
-def train(env, cfg: PPOConfig, progress_fn: Optional[Callable] = None):
-    """Returns (make_inference_fn, params, metrics_history)."""
+def train(env, cfg: PPOConfig, progress_fn: Optional[Callable] = None,
+          mesh=None):
+    """Returns (make_inference_fn, params, metrics_history).
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` (axis name "env") — the
+    num_envs axis of the batch-last rollout state shards over it and the
+    whole training iteration runs under GSPMD (data-parallel update
+    collectives inserted by XLA; program semantics identical to the
+    single-chip run). Requires the batch-last rollout path."""
     # Rollouts run batch-LAST through the engine's lane-packed hot path
     # whenever the env exposes it (all physics envs) — the vmap(step)
     # path (the reference's brax.training shape) stays as the fallback
@@ -93,7 +100,33 @@ def train(env, cfg: PPOConfig, progress_fn: Optional[Callable] = None):
         env_state = jax.jit(btenv.reset, static_argnums=1)(
             k_env, cfg.num_envs)
         first_state = env_state     # cached auto-reset pool (brax)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            n_dev = mesh.devices.size
+            if cfg.num_envs % n_dev != 0:
+                raise ValueError(
+                    f"num_envs={cfg.num_envs} must divide the mesh size "
+                    f"{n_dev}")
+            axis = mesh.axis_names[0]
+            # q/qd are [dim, B] (B on the trailing lane axis); obs/steps
+            # are [B, ...]. Placing the carry sharded makes GSPMD keep
+            # every rollout/update tensor env-sharded through the jitted
+            # training iteration.
+            from .batched_env import BatchedEnvState
+            specs = BatchedEnvState(
+                q=P(None, axis), qd=P(None, axis), obs=P(axis),
+                steps=P(axis))
+            env_state = jax.tree.map(
+                lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                env_state, specs,
+                is_leaf=lambda x: isinstance(x, jnp.ndarray))
+            first_state = env_state
     else:
+        if mesh is not None:
+            raise ValueError("mesh training requires the batch-last "
+                             "rollout path (physics envs)")
         reset_keys = jax.random.split(k_env, cfg.num_envs)
         env_state = jax.jit(jax.vmap(wrapped.reset))(reset_keys)
 
