@@ -74,9 +74,12 @@ def train(env, cfg: PPOConfig, progress_fn: Optional[Callable] = None,
     # whenever the env exposes it (all physics envs) — the vmap(step)
     # path (the reference's brax.training shape) stays as the fallback
     # and as the evaluation oracle. Parity: tests/test_rl_batched_env.py.
+    import os
+
     use_batch_last = (hasattr(env, "sys") and hasattr(env, "reward_qs_b")
                       and hasattr(env, "obs_qs_b")
-                      and cfg.action_repeat == 1)
+                      and cfg.action_repeat == 1
+                      and os.environ.get("MBD_TPU_RL_ROLLOUT", "") != "vmap")
     wrapped = wrap_for_training(env, cfg.episode_length, cfg.action_repeat)
     obs_size, act_size = env.observation_size, env.action_size
 
