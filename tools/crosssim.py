@@ -33,6 +33,7 @@ XMLS = {
     "walker2d": "walker2d.xml", "halfcheetah": "halfcheetah.xml",
     "ant": "ant.xml", "pushT": "pushT.xml",
     "humanoidstandup": "humanoidstandup.xml", "humanoidrun": "humanoidrun.xml",
+    "humanoidtrack": "humanoidtrack.xml",
 }
 
 
