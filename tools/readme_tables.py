@@ -174,6 +174,18 @@ def baselines_table(bl, results):
            if stale else "")
     if not tag and backends - {"tpu"}:
         tag = f" _(measured on {'/'.join(sorted(backends)).upper()})_"
+    all_failed = [e for e, rec in bl.items()
+                  if rec.get("baselines") and all(
+                      not (isinstance(v, dict) and v.get("rew_mean")
+                           is not None)
+                      for v in rec["baselines"].values())]
+    if all_failed:
+        tag += ("\n\n(— rows: the fused-engine `path_integral` refine "
+                "program for " + "/".join(all_failed) + " exceeded the "
+                "sweep's per-task XLA-compile budget on TPU — a compile "
+                "pathology of those envs' refine loops, not a capability "
+                "gap: `run_mbd --algo path_integral` runs them fine at "
+                "interactive scale.)")
     return "\n".join(lines) + tag
 
 
