@@ -277,7 +277,7 @@ def main():
     try:
         _BEST["section"] = "headline_stacked_N1024"
         result = _bench("humanoidrun", north_cfg, engine=engine,
-                        target_s=10.0, chunk=50)
+                        target_s=10.0, chunk=299)
         if pallas_error is None:
             result["pallas_lowering"] = "ok (kernel compiled+ran pre-flight)"
         _BEST["result"] = result
@@ -295,7 +295,7 @@ def main():
             _BEST["section"] = "flagship_stacked_N8192"
             result["flagship_Nsample8192"] = _bench(
                 "humanoidrun", flag_cfg, engine=engine, target_s=None,
-                chunk=50)
+                chunk=299)
             _BEST["result"] = result
         else:
             result["flagship_Nsample8192"] = {
@@ -305,7 +305,7 @@ def main():
         if _budget_left() > 0.2 * watchdog_s:
             _BEST["section"] = "flop_model"
             result["flop_model"] = _flop_model(
-                "humanoidrun", north_cfg, chunk=50,
+                "humanoidrun", north_cfg, chunk=299,
                 wall_s=result["wall_s"], n_steps=north_cfg["Ndiffuse"] - 1)
             _BEST["result"] = result
         else:
@@ -332,13 +332,13 @@ def main():
             _BEST["section"] = "headline_unrolled_N1024"
             with _BT.precompute_variant("unrolled"):
                 un = _bench("humanoidrun", north_cfg, engine=None,
-                            target_s=10.0, chunk=50)
+                            target_s=10.0, chunk=299)
                 un["precompute_variant"] = "unrolled"
                 if _budget_left() > 0.2 * watchdog_s:
                     _BEST["section"] = "flagship_unrolled_N8192"
                     un["flagship_Nsample8192"] = _bench(
                         "humanoidrun", flag_cfg, engine=None,
-                        target_s=None, chunk=50)
+                        target_s=None, chunk=299)
                     un["flagship_Nsample8192"]["precompute_variant"] = \
                         "unrolled"
             if un["wall_s"] < result["wall_s"]:

@@ -275,9 +275,10 @@ def run_multiple_temp(args) -> None:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    from ..utils.platform import force_platform
+    from ..utils.platform import enable_persistent_cache, force_platform
 
     force_platform(args.platform)
+    enable_persistent_cache()
     if args.mode == "single":
         rew = run_single(args)
         print(f"final reward = {rew:.2e}")

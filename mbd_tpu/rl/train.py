@@ -118,7 +118,9 @@ def main(argv=None):
     import jax
 
     from .. import envs
+    from ..utils.platform import enable_persistent_cache
 
+    enable_persistent_cache()
     env = envs.get_env(args.env_name)
 
     if args.env_name in SAC_CONFIGS:

@@ -12,6 +12,26 @@ it was measured.
 from __future__ import annotations
 
 
+def enable_persistent_cache(path: str | None = None) -> None:
+    """Point jax at the repo's persistent compilation cache.
+
+    On this box XLA compiles happen on the remote end of the axon tunnel
+    (minutes-class for humanoid-shape programs), so every CLI that can
+    re-run the same program shape must reuse compiled executables across
+    invocations. bench.py and the tools/ harnesses already do this;
+    calling it here gives the planner/RL CLIs the same behavior.
+    """
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..", "..", ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def force_platform(platform: str | None, n_cpu_devices: int = 0) -> None:
     """Pin the jax platform (must run before any backend use).
 
