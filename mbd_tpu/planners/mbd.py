@@ -146,6 +146,12 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
         from ..rollout.fused import rollout_rewards
         if engine == "pallas":
             from ..ops.rollout_pallas import rollout_rewards_pallas
+        if mesh is not None and cfg.Nsample % mesh.devices.size != 0:
+            raise ValueError(
+                f"Nsample={cfg.Nsample} must be divisible by the mesh "
+                f"device count {mesh.devices.size}; otherwise the "
+                f"per-device shard sizes diverge and shard_map fails "
+                f"with an opaque partitioning error.")
         n_loc = (cfg.Nsample // mesh.devices.size if mesh is not None
                  else cfg.Nsample)
         b_tile = min(1024, ((n_loc + 7) // 8) * 8)
