@@ -153,6 +153,64 @@ def worker(task: str, platform: str = ""):
     }), flush=True)
 
 
+def replay(env_name: str, seed: int) -> dict:
+    """Recover a crosssim row from a SAVED plan (results/<env>/plan_seed
+    {seed}.npy) without re-planning — used when a planner worker finished
+    (plan persisted) but the parent died before merging its stdout JSON
+    (the 2026-08-20 session cut mid-write). Runs fine on CPU: one
+    trajectory each through MuJoCo C and our fused engine."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mbd_tpu import envs as envs_mod
+    from mbd_tpu.envs.physics import asset_path
+    from mbd_tpu.planners import mbd
+    from mbd_tpu.rollout.fused import rollout_qs
+
+    env = envs_mod.get_env(env_name)
+    cfg = mbd.recommended_config(env_name)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    us = np.load(os.path.join(root, "results", env_name,
+                              f"plan_seed{seed}.npy"))
+
+    _, rng_reset = jax.random.split(jax.random.PRNGKey(seed))
+    st = env.reset(rng_reset)
+    q0 = np.asarray(st.pipeline_state.q)
+    qd0 = np.asarray(st.pipeline_state.qd)
+
+    qs_ours, qds_ours, bad = jax.jit(
+        lambda q, qd, u: rollout_qs(env.sys, env.n_frames, q, qd, u))(
+        jnp.asarray(q0, jnp.float32)[:, None],
+        jnp.asarray(qd0, jnp.float32)[:, None],
+        jnp.asarray(us, jnp.float32)[..., None])
+    ours = reward_from_qs(env, np.asarray(qs_ours)[:, :, 0],
+                          np.asarray(qds_ours)[:, :, 0], us, q0, qd0)
+
+    xml = asset_path(XMLS[env_name])
+    qs_mj, qds_mj = mujoco_rollout(env, xml, q0, qd0, us)
+    mj = reward_from_qs(env, qs_mj, qds_mj, us, q0, qd0)
+    mj_zero = reward_from_qs(env, *mujoco_rollout(
+        env, xml, q0, qd0, np.zeros_like(us)), np.zeros_like(us), q0, qd0)
+
+    dq = np.abs(np.asarray(qs_ours)[:, :, 0] - qs_mj).max(axis=1)
+    diverged = np.nonzero(dq > 0.1)[0]
+    return {
+        "env": env_name, "seed": seed,
+        "reward_ours": ours,
+        "final_diverged": bool(np.asarray(bad)[0] > 0),
+        "reward_mujoco": mj,
+        "reward_mujoco_zero_ctrl": mj_zero,
+        "first_divergence_step":
+            int(diverged[0]) if diverged.size else len(us),
+        "horizon": len(us),
+        "backend": "replayed_from_saved_plan (scored on "
+                   + jax.default_backend() + ")",
+        "config": dict(Nsample=cfg.Nsample, Hsample=cfg.Hsample,
+                       Ndiffuse=cfg.Ndiffuse, temp=cfg.temp_sample),
+    }
+
+
 def npz_crosssim(env_name: str):
     """Cross-validate the SAVED 8-seed harness plans (the exact plans whose
     rewards docs/RESULTS.json publishes, results/<env>/seed_harness.npz)
@@ -209,6 +267,9 @@ def main():
     p.add_argument("--platform", default="",
                    help="pin the jax backend (e.g. 'cpu' when the TPU "
                         "tunnel is down); empty = environment default")
+    p.add_argument("--replay", nargs="+", default=None,
+                   help="recover rows for these envs from their saved "
+                        "plan_seed{seed}.npy (no re-planning; CPU-safe)")
     p.add_argument("--from_npz", nargs="+", default=None,
                    help="cross-validate the saved seed-harness plans for "
                         "these envs (all 8 seeds, MuJoCo only, no "
@@ -217,6 +278,30 @@ def main():
 
     if args.worker:
         worker(args.worker, args.platform)
+        return
+
+    if args.replay:
+        import jax
+        jax.config.update("jax_platforms", args.platform or "cpu")
+        results = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                results = json.load(f)
+        for e in args.replay:
+            res = replay(e, args.seed)
+            results[res["env"]] = {k: res[k] for k in
+                                   ("seed", "reward_ours", "final_diverged",
+                                    "reward_mujoco",
+                                    "reward_mujoco_zero_ctrl",
+                                    "first_divergence_step",
+                                    "horizon", "backend", "config")}
+            print(f"{e}: ours={res['reward_ours']:.3f} "
+                  f"mujoco={res['reward_mujoco']:.3f} "
+                  f"div_step={res['first_divergence_step']}/"
+                  f"{res['horizon']}", flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.out}")
         return
 
     if args.from_npz:
@@ -247,16 +332,28 @@ def main():
          "--platform", args.platform],
         tasks, timeout_sec=args.timeout, retries=1, jobs=1)
 
-    results = {"_semantics": {
+    # merge into the existing file: a crashed re-measurement ANNOTATES the
+    # previously earned row, never erases it (same rule as run_results.py —
+    # round-4's humanoid-harness failure chain, docs/ROUND5.md §2)
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+    results["_semantics"] = {
         "first_divergence_step": "first env step where max |q_ours - q_mujoco|"
         " exceeds 0.1 (open-loop, two contact solvers); equal to `horizon`"
         " means the simulators tracked each other for the whole plan"
         " (bigger is better)",
         "final_diverged": "our engine's validity-envelope flag on the plan"
-        " (sim/batched.py qd + penetration checks)"}}
+        " (sim/batched.py qd + penetration checks)"}
     for r in records:
         if r.get("failed"):
-            results[r["task"].split(":")[0]] = {"failed": True}
+            env_name = r["task"].split(":")[0]
+            prev = results.get(env_name)
+            if isinstance(prev, dict) and "reward_ours" in prev:
+                prev["remeasure_failed"] = True
+            else:
+                results[env_name] = {"failed": True}
             continue
         res = r["result"]
         results[res["env"]] = {k: res[k] for k in
