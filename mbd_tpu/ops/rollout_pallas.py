@@ -20,6 +20,7 @@ Memory per block (humanoidrun, b_tile=1024):
 
 from __future__ import annotations
 
+import contextlib
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,47 @@ from ..sim.system import System
 
 SUBLANES = 8
 DEFAULT_B_TILE = 1024      # samples per grid block = 8 sublanes × 128 lanes
+
+# Mosaic's default scoped-VMEM budget is ~16 MB; the humanoid substep's
+# stack intermediates need ~19 MB at b_tile=1024 with FK-based rewards
+# (humanoidstandup) and ~25 MB at b_tile=2048 — well within the 128 MiB
+# of physical VMEM on v5e, so raise the compiler cap rather than shrink
+# the tile (observed OOMs: 18.87M/16M, 25.16M/16M). The raise is OPT-IN
+# (ambient context below, or automatic for b_tile > DEFAULT_B_TILE):
+# passing compiler_params unconditionally would change the lowering of
+# every existing program and invalidate the persistent compile cache —
+# cold unrolled-variant humanoid compiles are hour-class (docs/EVIDENCE
+# .md), so cache-preserving byte-identity of the default path matters.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+_VMEM_OVERRIDE: list = []
+
+
+@contextlib.contextmanager
+def raised_vmem_limit(nbytes: int = VMEM_LIMIT_BYTES):
+    """Trace-time switch: pallas_calls built inside this context carry
+    ``CompilerParams(vmem_limit_bytes=nbytes)``. Used by the planners'
+    vmem-OOM retry path (plan() demotion chain: pallas → pallas with
+    raised limit → fused) so only kernels that NEED the raise pay the
+    cache invalidation."""
+    _VMEM_OVERRIDE.append(int(nbytes))
+    try:
+        yield
+    finally:
+        _VMEM_OVERRIDE.pop()
+
+
+def vmem_limit_for(b_tile: int):
+    """Scoped-VMEM cap for a kernel at this tile: the ambient override if
+    one is active, the raised default for super-DEFAULT tiles (new shapes
+    — no cache to preserve, and >1024-sample tiles exceed Mosaic's ~16 MB
+    default on the humanoids), else None (compiler default; keeps the
+    lowering byte-identical with previously cached programs)."""
+    if _VMEM_OVERRIDE:
+        return _VMEM_OVERRIDE[-1]
+    if b_tile > DEFAULT_B_TILE:
+        return VMEM_LIMIT_BYTES
+    return None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -164,6 +206,11 @@ def make_rollout_kernel(sys: System, env, n_frames: int, H: int,
                              memory_space=pltpu.VMEM))
             out_shape.append(
                 jax.ShapeDtypeStruct((1, SUBLANES, lanes), U.dtype))
+        limit = vmem_limit_for(b_tile)
+        kwargs = {}
+        if limit is not None and not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=limit)
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -171,6 +218,7 @@ def make_rollout_kernel(sys: System, env, n_frames: int, H: int,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             interpret=interpret,
+            **kwargs,
         )(*inputs)
         rews, bad = out[0], out[1]
         res = (rews.reshape(H, n_pad)[:, :N],

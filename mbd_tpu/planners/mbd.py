@@ -154,7 +154,11 @@ def make_reverse_once(env, cfg: MBDConfig, state_init, sched,
                 f"with an opaque partitioning error.")
         n_loc = (cfg.Nsample // mesh.devices.size if mesh is not None
                  else cfg.Nsample)
-        b_tile = min(1024, ((n_loc + 7) // 8) * 8)
+        # 2048-sample tiles measured 22% faster than 1024 on the
+        # humanoid kernel (tools/probe_vmem.py, v5e; needs the
+        # raised scoped-VMEM cap that rollout_pallas auto-applies
+        # for super-default tiles); 4096 was slightly slower
+        b_tile = min(2048, ((n_loc + 7) // 8) * 8)
 
         def _eval_local(Y0s_):
             """Per-sample evaluation (no cross-sample coupling): Y0s_
@@ -313,7 +317,11 @@ def make_reverse_once_batch(env, cfg: MBDConfig, states_init, sched,
                 "would fail with an opaque partitioning error)")
         n_loc = (S * N // mesh.devices.size if mesh is not None
                  else S * N)
-        b_tile = min(1024, ((n_loc + 7) // 8) * 8)
+        # 2048-sample tiles measured 22% faster than 1024 on the
+        # humanoid kernel (tools/probe_vmem.py, v5e; needs the
+        # raised scoped-VMEM cap that rollout_pallas auto-applies
+        # for super-default tiles); 4096 was slightly slower
+        b_tile = min(2048, ((n_loc + 7) // 8) * 8)
         # per-sample initial states: seed-major [nq, S*N] (sample s*N+n
         # starts from seed s's reset state)
         q0 = jnp.repeat(states_init.pipeline_state.q.T, N, axis=1)
@@ -458,6 +466,24 @@ def plan_batch(env, cfg: MBDConfig, rngs: jax.Array, jit: bool = True,
         if engine != "pallas":
             raise
         import warnings
+        if "vmem" in f"{e}".lower():
+            # Mosaic scoped-VMEM overflow (humanoidstandup's FK-based
+            # reward at H=50 needs ~19 MB vs the ~16 MB default): retry
+            # the SAME kernel under a raised compiler cap before giving
+            # up the Pallas engine — only that program pays the cache
+            # invalidation (see ops/rollout_pallas.raised_vmem_limit).
+            from ..ops.rollout_pallas import raised_vmem_limit
+            warnings.warn(
+                f"pallas kernel exceeded the default scoped-VMEM cap "
+                f"({type(e).__name__}); retrying with a raised "
+                "vmem_limit_bytes", RuntimeWarning, stacklevel=2)
+            try:
+                with raised_vmem_limit():
+                    return _plan_batch_impl(env, cfg, rngs, jit,
+                                            chunk_size, progress_fn,
+                                            "pallas", mesh)
+            except Exception as e2:  # noqa: BLE001
+                e = e2
         warnings.warn(
             f"pallas engine failed ({type(e).__name__}: {e}); retrying "
             "with the XLA-fused engine", RuntimeWarning, stacklevel=2)
@@ -597,6 +623,21 @@ def plan(env, cfg: MBDConfig, rng: jax.Array, state_init=None,
         if engine != "pallas":
             raise
         import warnings
+        if "vmem" in f"{e}".lower():
+            # see plan_batch: scoped-VMEM overflow → retry under a
+            # raised compiler cap before demoting to the fused engine
+            from ..ops.rollout_pallas import raised_vmem_limit
+            warnings.warn(
+                f"pallas kernel exceeded the default scoped-VMEM cap "
+                f"({type(e).__name__}); retrying with a raised "
+                "vmem_limit_bytes", RuntimeWarning, stacklevel=2)
+            try:
+                with raised_vmem_limit():
+                    return _plan_impl(env, cfg, rng, state_init, mesh,
+                                      jit, chunk_size, progress_fn,
+                                      "pallas", checkpoint_path)
+            except Exception as e2:  # noqa: BLE001
+                e = e2
         warnings.warn(
             f"pallas engine failed ({type(e).__name__}: {e}); retrying "
             "with the XLA-fused engine", RuntimeWarning, stacklevel=2)

@@ -134,7 +134,7 @@ def plan_batch(env, cfg: PathIntegralConfig, rngs: jax.Array,
         # planners/mbd.py — operand reset states mean one compiled program
         # per (env, cfg, S, engine), shared across seed sets)
         if engine in ("fused", "pallas"):
-            b_tile = min(1024, ((S * N + 7) // 8) * 8)
+            b_tile = min(2048, ((S * N + 7) // 8) * 8)
             shim = SimpleNamespace(pipeline_state=SimpleNamespace(
                 q=jnp.repeat(states_init_op.pipeline_state.q.T, N, axis=1),
                 qd=jnp.repeat(states_init_op.pipeline_state.qd.T, N,
@@ -273,7 +273,11 @@ def plan(env, cfg: PathIntegralConfig, rng: jax.Array, state_init=None,
     if engine in ("fused", "pallas"):
         n_loc = (cfg.Nsample // mesh.devices.size if mesh is not None
                  else cfg.Nsample)
-        b_tile = min(1024, ((n_loc + 7) // 8) * 8)
+        # 2048-sample tiles measured 22% faster than 1024 on the
+        # humanoid kernel (tools/probe_vmem.py, v5e; needs the
+        # raised scoped-VMEM cap that rollout_pallas auto-applies
+        # for super-default tiles); 4096 was slightly slower
+        b_tile = min(2048, ((n_loc + 7) // 8) * 8)
         if engine == "pallas":
             from ..ops.rollout_pallas import rollout_rewards_pallas
 

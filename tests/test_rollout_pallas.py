@@ -86,3 +86,22 @@ def test_pallas_rollout_pads_ragged_batch():
                                     interpret=True)
     assert r.shape == (5, 6) and bad.shape == (5,)
     assert np.isfinite(np.asarray(r)).all()
+
+
+def test_vmem_limit_selection():
+    """The scoped-VMEM raise is opt-in: default tiles keep the compiler
+    default (byte-identical lowering — preserves the persistent compile
+    cache), super-default tiles auto-raise (new shapes that overflow the
+    ~16 MB default on the humanoids), and the planners' OOM-retry
+    context overrides everything while active and restores on exit."""
+    from mbd_tpu.ops import rollout_pallas as rp
+
+    assert rp.vmem_limit_for(512) is None
+    assert rp.vmem_limit_for(rp.DEFAULT_B_TILE) is None
+    assert rp.vmem_limit_for(2048) == rp.VMEM_LIMIT_BYTES
+    with rp.raised_vmem_limit():
+        assert rp.vmem_limit_for(512) == rp.VMEM_LIMIT_BYTES
+        with rp.raised_vmem_limit(7 * 2**20):
+            assert rp.vmem_limit_for(4096) == 7 * 2**20
+        assert rp.vmem_limit_for(512) == rp.VMEM_LIMIT_BYTES
+    assert rp.vmem_limit_for(512) is None

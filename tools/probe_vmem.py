@@ -38,7 +38,7 @@ for spec in SPECS:
     try:
         env = get_env(name)
         cfg = mbd.recommended_config(name)
-        b_tile = int(bt) if bt else min(1024, cfg.Nsample)
+        b_tile = int(bt) if bt else min(2048, cfg.Nsample)  # planner default
         state0 = env.reset(jax.random.PRNGKey(0))
         H, N = cfg.Hsample, cfg.Nsample
         Y = 0.1 * jax.random.normal(
